@@ -1,0 +1,4 @@
+"""Robot model loading (URDF/MJCF -> static arrays) and flax policy networks."""
+
+from .robot_model import RobotModel  # noqa: F401
+from .urdf import load_urdf  # noqa: F401
