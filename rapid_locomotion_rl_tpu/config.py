@@ -315,14 +315,15 @@ class SimCfg:
     substeps: int = 1
     gravity: List[float] = _f([0.0, 0.0, -9.81])
     up_axis: int = 1  # 0 = y, 1 = z
-    # contact model parameters (TPU-native replacement for the physx block)
-    contact_stiffness: float = 3000.0   # penalty spring [N/m]
-    contact_damping: float = 80.0       # penalty damper [N*s/m]
-    friction_vel_eps: float = 0.25      # regularized Coulomb transition [m/s]
+    # contact model parameters (TPU-native replacement for the physx block);
+    # solved implicitly per sphere against its body mass — see ops/contact.py
+    contact_stiffness: float = 10000.0  # penalty spring [N/m]
+    contact_damping: float = 200.0      # penalty damper [N*s/m]
+    friction_vel_eps: float = 0.1       # regularized Coulomb transition [m/s]
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
-    # number of physics sub-substeps per control substep (1 == dt as-is)
-    num_substeps: int = 1
+    # physics integration sub-steps per gym-style 0.005 s step
+    num_substeps: int = 2
 
 
 @dataclass

@@ -1,0 +1,250 @@
+"""Batched articulated rigid-body dynamics (Featherstone ABA) in JAX.
+
+TPU-native replacement for the PhysX GPU simulation consumed by the reference
+through ``gym.simulate``/``fetch_results`` (reference legged_robot.py:119-121;
+SURVEY.md §2.1 N1, N3, N4, N6). Design:
+
+- the robot is a floating-base kinematic tree with revolute joints only
+  (what both supported assets are after fixed-joint collapsing);
+- forward dynamics via the Articulated-Body Algorithm in body coordinates
+  with the free-falling-frame gravity trick; O(nb) sweeps are unrolled
+  Python loops over the (static, ~13-body) tree — every op inside is batched
+  over the env axis by ``vmap``, which is where the parallelism lives;
+- per-env physical parameters (payload mass, CoM displacement) enter the
+  base spatial inertia as *tensor inputs*, so domain randomization is a
+  cheap on-device update instead of a sim rebuild (SURVEY.md N6);
+- integration is semi-implicit Euler at ``sim.dt`` (reference dt=0.005,
+  legged_robot_config.py:238).
+
+State lives in a :class:`SimState` PyTree; "indexed writes" (resets) are
+masked ``jnp.where`` merges performed by the env layer.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import quat as Q
+from . import spatial as S
+
+
+class SimState(NamedTuple):
+    """Dynamic state of one robot (batched by the env layer via vmap).
+
+    The reference packs this as root_states [13] + dof_state [nv,2]
+    (legged_robot.py:950-960); here it is a typed PyTree.
+    """
+    base_pos: jnp.ndarray     # [3] world
+    base_quat: jnp.ndarray    # [4] xyzw, body->world
+    base_lin_vel: jnp.ndarray  # [3] world, velocity of base frame origin
+    base_ang_vel: jnp.ndarray  # [3] world
+    q: jnp.ndarray            # [nv] joint positions
+    qd: jnp.ndarray           # [nv] joint velocities
+
+
+class BodyFrames(NamedTuple):
+    """World-frame kinematics of every dynamics body."""
+    R: jnp.ndarray        # [nb,3,3] body->world rotation
+    p: jnp.ndarray        # [nb,3] body frame origin, world
+    w: jnp.ndarray        # [nb,3] angular velocity, world
+    v: jnp.ndarray        # [nb,3] velocity of the body frame origin, world
+
+
+def _axis_rotmat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rodrigues rotation about a (constant, unit) axis."""
+    K = S.skew(axis)
+    s, c = jnp.sin(angle), jnp.cos(angle)
+    return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
+
+
+def fk(model, state: SimState) -> BodyFrames:
+    """Forward kinematics + world-frame velocity propagation."""
+    nb = model.nb
+    R0 = Q.quat_to_rotmat(state.base_quat)
+    Rs = [R0]
+    ps = [state.base_pos]
+    ws = [state.base_ang_vel]
+    vs = [state.base_lin_vel]
+    for i in range(1, nb):
+        j = i - 1
+        par = int(model.parent[i])
+        E_tree = jnp.asarray(model.E_tree[j], dtype=jnp.float32)
+        p_tree = jnp.asarray(model.p_tree[j], dtype=jnp.float32)
+        axis = jnp.asarray(model.axis[j], dtype=jnp.float32)
+        R_pc = E_tree @ _axis_rotmat(axis, state.q[j])
+        R_w = Rs[par] @ R_pc
+        p_w = Rs[par] @ p_tree + ps[par]
+        w_w = ws[par] + R_w @ (axis * state.qd[j])
+        v_w = vs[par] + jnp.cross(ws[par], p_w - ps[par])
+        Rs.append(R_w)
+        ps.append(p_w)
+        ws.append(w_w)
+        vs.append(v_w)
+    return BodyFrames(jnp.stack(Rs), jnp.stack(ps), jnp.stack(ws), jnp.stack(vs))
+
+
+def geom_world_positions(model, frames: BodyFrames) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """World positions and point-velocities of all collision spheres."""
+    gb = model.geom_body  # static numpy [ng]
+    off = jnp.asarray(model.geom_offset, dtype=jnp.float32)  # [ng,3]
+    Rg = frames.R[gb]                     # [ng,3,3]
+    pg = jnp.einsum("gij,gj->gi", Rg, off) + frames.p[gb]
+    vg = frames.v[gb] + jnp.cross(frames.w[gb], pg - frames.p[gb])
+    return pg, vg
+
+
+def aba(model, state: SimState, tau: jnp.ndarray,
+        f_ext_body: Optional[jnp.ndarray], gravity: jnp.ndarray,
+        payload: jnp.ndarray, com_offset: jnp.ndarray,
+        fixed_base: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Articulated-Body Algorithm: forward dynamics of the tree.
+
+    Args:
+      tau: [nv] joint torques (actuation + passive terms already summed).
+      f_ext_body: [nb,6] external spatial forces in each body's own frame
+        ([torque-about-origin; force]), or None.
+      gravity: [3] world gravity.
+      payload: scalar added base mass (domain randomization, reference
+        _process_rigid_body_props legged_robot.py:562-568).
+      com_offset: [3] base CoM override offset.
+      fixed_base: static flag; True pins the base (fix_base_link).
+
+    Returns:
+      (qdd [nv], a0 [6]) — joint accelerations and the TRUE base spatial
+      acceleration in base coordinates ([ang; lin]).
+    """
+    nb, nv = model.nb, model.nv
+    f32 = jnp.float32
+
+    # ---- per-body constants (base inertia is per-env due to DR) ---------
+    base_mass = jnp.asarray(model.mass[0], f32) + payload
+    # reference sets the base CoM to the sampled displacement outright and
+    # rescales inertia with the new mass (recomputeInertia=True analogue)
+    base_com = com_offset + jnp.asarray(model.com[0], f32)
+    base_inertia = jnp.asarray(model.inertia[0], f32) * (
+        base_mass / jnp.asarray(model.mass[0], f32))
+    I_base = S.spatial_inertia(base_mass, base_com, base_inertia)
+
+    I_body = [I_base]
+    for i in range(1, nb):
+        I_body.append(S.spatial_inertia(
+            jnp.asarray(model.mass[i], f32),
+            jnp.asarray(model.com[i], f32),
+            jnp.asarray(model.inertia[i], f32)))
+
+    # ---- pass 1: velocities & bias terms --------------------------------
+    R0 = Q.quat_to_rotmat(state.base_quat)
+    v0 = jnp.concatenate((R0.T @ state.base_ang_vel, R0.T @ state.base_lin_vel))
+    v = [v0]
+    c = [jnp.zeros(6, f32)]
+    Xup_E = [None]   # E (3x3) of motion transform parent->child
+    Xup_r = [None]   # r (3) of motion transform
+    Ss = [None]
+    for i in range(1, nb):
+        j = i - 1
+        E_tree = jnp.asarray(model.E_tree[j], f32)
+        p_tree = jnp.asarray(model.p_tree[j], f32)
+        axis = jnp.asarray(model.axis[j], f32)
+        R_pc = E_tree @ _axis_rotmat(axis, state.q[j])
+        E = R_pc.T            # parent coords -> child coords
+        Si = jnp.concatenate((axis, jnp.zeros(3, f32)))
+        par = int(model.parent[i])
+        vi = S.xform_motion(E, p_tree, v[par]) + Si * state.qd[j]
+        ci = S.crm(vi, Si * state.qd[j])
+        v.append(vi)
+        c.append(ci)
+        Xup_E.append(E)
+        Xup_r.append(p_tree)
+        Ss.append(Si)
+
+    IA = list(I_body)
+    pA = []
+    for i in range(nb):
+        bias = S.crf(v[i], IA[i] @ v[i])
+        if f_ext_body is not None:
+            bias = bias - f_ext_body[i]
+        pA.append(bias)
+
+    # ---- pass 2: articulated inertia backward sweep ---------------------
+    U = [None] * nb
+    d = [None] * nb
+    u = [None] * nb
+    for i in range(nb - 1, 0, -1):
+        j = i - 1
+        Si = Ss[i]
+        U[i] = IA[i] @ Si
+        d[i] = Si @ U[i] + jnp.asarray(model.dof_armature[j], f32)
+        u[i] = tau[j] - Si @ pA[i]
+        par = int(model.parent[i])
+        Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]
+        pa = pA[i] + Ia @ c[i] + U[i] * (u[i] / d[i])
+        X = S.xmat_motion(Xup_E[i], Xup_r[i])
+        IA[par] = IA[par] + X.T @ Ia @ X
+        pA[par] = pA[par] + S.xform_force_to_parent(Xup_E[i], Xup_r[i], pa)
+
+    # ---- base acceleration ---------------------------------------------
+    # spatial gravity acceleration in base coords
+    a_grav = jnp.concatenate((jnp.zeros(3, f32), R0.T @ gravity))
+    if fixed_base:
+        a0_rel = -a_grav                     # true accel == 0
+    else:
+        a0_rel = -jnp.linalg.solve(IA[0], pA[0])
+
+    # ---- pass 3: accelerations forward ---------------------------------
+    a = [a0_rel]
+    qdd = [None] * nv
+    for i in range(1, nb):
+        j = i - 1
+        par = int(model.parent[i])
+        ap = S.xform_motion(Xup_E[i], Xup_r[i], a[par]) + c[i]
+        qddi = (u[i] - U[i] @ ap) / d[i]
+        qdd[j] = qddi
+        a.append(ap + Ss[i] * qddi)
+
+    a0_true = a0_rel + a_grav
+    return jnp.stack(qdd), a0_true
+
+
+class PhysParams(NamedTuple):
+    """Per-env physical properties entering the dynamics (SURVEY.md N6)."""
+    friction: jnp.ndarray          # [] robot shape friction coeff
+    restitution: jnp.ndarray       # []
+    payload: jnp.ndarray           # [] added base mass [kg]
+    com_displacement: jnp.ndarray  # [3] base CoM offset [m]
+
+
+def joint_limit_torque(model, q: jnp.ndarray, qd: jnp.ndarray,
+                       k: float = 300.0, damp: float = 2.0) -> jnp.ndarray:
+    """Penalty torque enforcing URDF joint limits (PhysX limit analogue)."""
+    lower = jnp.asarray(model.dof_lower, jnp.float32)
+    upper = jnp.asarray(model.dof_upper, jnp.float32)
+    below = jnp.minimum(q - lower, 0.0)
+    above = jnp.maximum(q - upper, 0.0)
+    viol = (below < 0) | (above > 0)
+    return -k * (below + above) - damp * qd * viol
+
+
+def integrate(state: SimState, qdd: jnp.ndarray, a0: jnp.ndarray,
+              dt: float, fixed_base: bool = False) -> SimState:
+    """Semi-implicit Euler update of the full state."""
+    R0 = Q.quat_to_rotmat(state.base_quat)
+    if fixed_base:
+        new_w = jnp.zeros(3, jnp.float32)
+        new_v = jnp.zeros(3, jnp.float32)
+        new_pos = state.base_pos
+        new_quat = state.base_quat
+    else:
+        # convert base spatial accel (body coords) to world-frame classical
+        # accelerations: ω̇_w = R ω̇_b ;  r̈_w = R a_lin_b + ω_w × ṙ_w
+        wdot_w = R0 @ a0[:3]
+        acc_w = R0 @ a0[3:] + jnp.cross(state.base_ang_vel, state.base_lin_vel)
+        new_w = state.base_ang_vel + dt * wdot_w
+        new_v = state.base_lin_vel + dt * acc_w
+        new_pos = state.base_pos + dt * new_v
+        new_quat = Q.quat_integrate(state.base_quat, new_w, dt)
+    new_qd = state.qd + dt * qdd
+    new_q = state.q + dt * new_qd
+    return SimState(new_pos, new_quat, new_v, new_w, new_q, new_qd)

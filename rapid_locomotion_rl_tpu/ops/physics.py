@@ -1,0 +1,96 @@
+"""One physics substep: FK -> contact -> ABA -> semi-implicit integration.
+
+This is the TPU equivalent of one ``gym.simulate`` call in the reference's
+decimation loop (legged_robot.py:116-126). The env layer vmaps
+:func:`physics_step` over the env axis and `lax.scan`s it over decimation —
+the whole thing fuses into the single jitted train step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .contact import (TerrainGrid, contact_forces, spatial_forces_on_bodies)
+from .dynamics import (PhysParams, SimState, aba, fk, geom_world_positions,
+                       integrate, joint_limit_torque)
+
+
+class StepOutput(NamedTuple):
+    state: SimState
+    contact_report: jnp.ndarray   # [nr,3] world net contact force per report body
+    geom_pos: jnp.ndarray         # [ng,3] world sphere centers (pre-step)
+
+
+def physics_step(
+    model,
+    sim_cfg,                      # config.SimCfg (static)
+    state: SimState,
+    tau: jnp.ndarray,             # [nv] actuation torque (already limited)
+    params: PhysParams,
+    terrain: Optional[TerrainGrid],
+    fixed_base: bool = False,
+) -> StepOutput:
+    """Advance a single robot by ``sim_cfg.dt`` total, using
+    ``sim_cfg.num_substeps`` inner integration steps with the applied torque
+    held constant (vmap over envs outside)."""
+    gravity = jnp.asarray(sim_cfg.gravity, jnp.float32)
+    nsub = max(int(sim_cfg.num_substeps), 1)
+    dt = sim_cfg.dt / nsub
+
+    report = None
+    geom_pos0 = None
+    for _ in range(nsub):
+        frames = fk(model, state)
+        geom_pos, geom_vel = geom_world_positions(model, frames)
+        if geom_pos0 is None:
+            geom_pos0 = geom_pos
+
+        forces, report = contact_forces(
+            model, geom_pos, geom_vel,
+            params.friction, params.restitution, terrain,
+            stiffness=sim_cfg.contact_stiffness,
+            damping=sim_cfg.contact_damping,
+            friction_vel_eps=sim_cfg.friction_vel_eps,
+            dt=dt,
+            terrain_friction=(terrain.static_friction
+                              if terrain is not None else 1.0),
+        )
+        f_ext = spatial_forces_on_bodies(model, frames, geom_pos, forces)
+
+        # passive joint terms: viscous damping, limit springs
+        tau_total = (
+            tau
+            - jnp.asarray(model.dof_damping, jnp.float32) * state.qd
+            - sim_cfg.joint_friction * jnp.tanh(state.qd / 0.1)
+            + joint_limit_torque(model, state.q, state.qd)
+        )
+
+        qdd, a0 = aba(model, state, tau_total, f_ext, gravity,
+                      params.payload, params.com_displacement,
+                      fixed_base=fixed_base)
+        state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
+    return StepOutput(state, report, geom_pos0)
+
+
+def make_batched_step(model, sim_cfg, terrain: Optional[TerrainGrid],
+                      fixed_base: bool = False):
+    """Returns step(states, taus, params) vmapped over the env axis."""
+    fn = functools.partial(physics_step, model, sim_cfg,
+                           terrain=terrain, fixed_base=fixed_base)
+    return jax.vmap(lambda s, t, p: fn(s, t, p))
+
+
+def default_sim_state(model, base_pos, base_quat, q) -> SimState:
+    """Single-env rest state at the given pose."""
+    return SimState(
+        base_pos=jnp.asarray(base_pos, jnp.float32),
+        base_quat=jnp.asarray(base_quat, jnp.float32),
+        base_lin_vel=jnp.zeros(3, jnp.float32),
+        base_ang_vel=jnp.zeros(3, jnp.float32),
+        q=jnp.asarray(q, jnp.float32),
+        qd=jnp.zeros(model.nv, jnp.float32),
+    )
