@@ -152,6 +152,10 @@ class InitStateCfg:
     ang_vel: List[float] = _f([0.0, 0.0, 0.0])
     default_joint_angles: Dict[str, float] = field(
         default_factory=lambda: {"joint_a": 0.0, "joint_b": 0.0})
+    # upstream reset randomization (legged_robot.py:704-706 upstream form,
+    # :736-737): dof_pos = default * U(lo, hi); root vel ~ U(-0.5, 0.5)
+    dof_init_range: List[float] = _f([0.5, 1.5])
+    randomize_root_vel: bool = True
 
 
 @dataclass
