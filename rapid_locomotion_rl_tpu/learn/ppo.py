@@ -1,0 +1,337 @@
+"""PPO with teacher-student distillation — one fused, jittable iteration.
+
+Re-creates the reference learner (reference mini_gym_learn/ppo/ppo.py:33-178
++ rollout_storage.py:7-139 + the Runner rollout loop
+mini_gym_learn/ppo/__init__.py:123-203) as pure functions:
+
+- the 24-step rollout is a `lax.scan` whose stacked outputs ARE the rollout
+  storage (no separate buffer object);
+- GAE is a reverse scan (rollout_storage.py:76-90), advantages normalized
+  over the train-env batch;
+- the update runs 5 epochs x 4 minibatches as a `lax.scan` over shuffled
+  index chunks (one global permutation, reused across epochs — matching
+  mini_batch_generator, rollout_storage.py:100-124);
+- the adaptive-KL learning-rate rule runs *between* minibatches exactly as
+  in the reference (ppo.py:110-124): the LR is part of the carried state;
+- the adaptation module trains each minibatch on
+  MSE(adaptation(obs_hist), stop_grad(encoder(priv_obs))) with its own Adam
+  (ppo.py:156-170);
+- timeout bootstrapping adds γ·V·timeout to rewards (ppo.py:81-83).
+
+Everything here composes under jit and shard_map (see parallel/)."""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.networks import (ActorCritic, normal_entropy, normal_kl,
+                               normal_log_prob)
+
+
+@dataclass
+class PPOArgs:
+    """Reference PPO_Args (ppo.py:15-30)."""
+    value_loss_coef: float = 1.0
+    use_clipped_value_loss: bool = True
+    clip_param: float = 0.2
+    entropy_coef: float = 0.01
+    num_learning_epochs: int = 5
+    num_mini_batches: int = 4
+    learning_rate: float = 1e-3
+    adaptation_module_learning_rate: float = 1e-3
+    num_adaptation_module_substeps: int = 1
+    schedule: str = "adaptive"
+    gamma: float = 0.99
+    lam: float = 0.95
+    desired_kl: float = 0.01
+    max_grad_norm: float = 1.0
+
+
+class PPOState(NamedTuple):
+    params: Any
+    opt_state: Any
+    adapt_opt_state: Any
+    lr: jnp.ndarray          # [] adaptive learning rate
+
+
+class Transition(NamedTuple):
+    """One scanned rollout slot (rollout_storage.py:8-24)."""
+    obs: jnp.ndarray
+    privileged_obs: jnp.ndarray
+    obs_history: jnp.ndarray
+    actions: jnp.ndarray
+    rewards: jnp.ndarray
+    dones: jnp.ndarray
+    values: jnp.ndarray
+    log_prob: jnp.ndarray
+    mu: jnp.ndarray
+    sigma: jnp.ndarray
+    env_bins: jnp.ndarray
+
+
+def make_optimizers(ppo_args: PPOArgs):
+    """Main optimizer: grad-clip + Adam, applied with the carried adaptive
+    LR (Adam at lr=1 then scale — identical to Adam at lr). Adaptation
+    optimizer: fixed-LR Adam (ppo.py:44-46)."""
+    tx = optax.chain(optax.clip_by_global_norm(ppo_args.max_grad_norm),
+                     optax.adam(1.0))
+    adapt_tx = optax.adam(ppo_args.adaptation_module_learning_rate)
+    return tx, adapt_tx
+
+
+def init_ppo_state(key, ac: ActorCritic, ppo_args: PPOArgs,
+                   num_obs, num_priv, num_hist) -> PPOState:
+    obs = jnp.zeros((1, num_obs))
+    priv = jnp.zeros((1, num_priv))
+    hist = jnp.zeros((1, num_hist))
+    params = ac.init(key, obs, priv, hist)
+    tx, adapt_tx = make_optimizers(ppo_args)
+    return PPOState(
+        params=params,
+        opt_state=tx.init(params),
+        adapt_opt_state=adapt_tx.init(params),
+        lr=jnp.asarray(ppo_args.learning_rate, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+def rollout(env, ac: ActorCritic, ppo_args: PPOArgs, params,
+            env_state, key, num_steps: int, eval_expert: bool = False
+            ) -> Tuple[Any, Transition, Dict[str, jnp.ndarray]]:
+    """Collect `num_steps` transitions with the current policy.
+
+    Train envs act stochastically through the teacher policy (alg.act,
+    ppo.py:62-74); eval envs (if any) act deterministically through teacher
+    or student (Runner.learn, ppo/__init__.py:128-135)."""
+    n_train = env.num_train_envs
+
+    def step_fn(carry, _):
+        env_state, key = carry
+        key, k_sample = jax.random.split(key)
+        obs = env_state.obs
+        priv = env_state.privileged_obs
+        hist = env_state.obs_history
+
+        mean, std = ac.apply(params, obs, priv, method=ActorCritic.distribution)
+        noise = jax.random.normal(k_sample, mean.shape)
+        sampled = mean + std * noise
+        values = ac.apply(params, obs, priv, method=ActorCritic.evaluate)
+        log_prob = normal_log_prob(mean, std, sampled)
+
+        if env.num_eval_envs > 0:
+            if eval_expert:
+                det = ac.apply(params, obs, priv,
+                               method=ActorCritic.act_teacher)
+            else:
+                det = ac.apply(params, obs, hist,
+                               method=ActorCritic.act_student)
+            idx = jnp.arange(obs.shape[0])[:, None]
+            actions = jnp.where(idx < n_train, sampled, det)
+        else:
+            actions = sampled
+
+        new_env_state, res = env.step(env_state, actions)
+        # timeout bootstrap (ppo.py:81-83)
+        rewards = res.rew + ppo_args.gamma * values * res.info["time_outs"]
+
+        t = Transition(
+            obs=obs, privileged_obs=priv, obs_history=hist,
+            actions=actions, rewards=rewards, dones=res.done,
+            values=values, log_prob=log_prob, mu=mean, sigma=std,
+            env_bins=res.info["env_bins"])
+        # keep only scalar/summable metrics in the scanned info
+        info = {k: v for k, v in res.info.items()
+                if k not in ("env_bins", "time_outs")}
+        return (new_env_state, key), (t, info)
+
+    (env_state, _), (traj, infos) = jax.lax.scan(
+        step_fn, (env_state, key), None, length=num_steps)
+    return env_state, traj, infos
+
+
+def compute_gae(traj: Transition, last_values, gamma: float, lam: float):
+    """Reverse-scan GAE (rollout_storage.py:76-90)."""
+    def body(carry, t):
+        adv_next, v_next = carry
+        not_done = 1.0 - t.dones.astype(jnp.float32)
+        delta = t.rewards + not_done * gamma * v_next - t.values
+        adv = delta + not_done * gamma * lam * adv_next
+        return (adv, t.values), adv
+
+    _, advantages = jax.lax.scan(
+        body, (jnp.zeros_like(last_values), last_values), traj, reverse=True)
+    returns = advantages + traj.values
+    return advantages, returns
+
+
+# ---------------------------------------------------------------------------
+def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
+               traj: Transition, advantages, returns, key,
+               num_train_envs: int, grad_sync=None
+               ) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
+    """5 epochs x 4 minibatches over the flattened train-env transitions
+    (ppo.py:94-178). `grad_sync` (optional) psums gradients across the data
+    mesh for multi-chip training."""
+    T = traj.obs.shape[0]
+    B_total = T * num_train_envs
+    nmb = ppo_args.num_mini_batches
+    mb_size = B_total // nmb
+
+    def flat(x):
+        return x[:, :num_train_envs].reshape((B_total,) + x.shape[2:])
+
+    data = dict(
+        obs=flat(traj.obs), priv=flat(traj.privileged_obs),
+        hist=flat(traj.obs_history), actions=flat(traj.actions),
+        values=flat(traj.values), log_prob=flat(traj.log_prob),
+        mu=flat(traj.mu), sigma=flat(traj.sigma),
+        adv=flat(advantages), ret=flat(returns))
+
+    # advantage normalization over the whole batch (rollout_storage.py:90)
+    if grad_sync is not None:
+        a_mean = grad_sync(jnp.mean(data["adv"]))
+        a_var = grad_sync(jnp.mean((data["adv"] - a_mean) ** 2))
+        a_std = jnp.sqrt(a_var)
+    else:
+        a_mean = jnp.mean(data["adv"])
+        a_std = jnp.std(data["adv"])
+    data["adv"] = (data["adv"] - a_mean) / (a_std + 1e-8)
+
+    # one global permutation reused across epochs (rollout_storage.py:103)
+    perm = jax.random.permutation(key, nmb * mb_size)
+    chunks = perm.reshape(nmb, mb_size)
+
+    tx, adapt_tx = make_optimizers(ppo_args)
+
+    def loss_fn(params, mb):
+        mean, std = ac.apply(params, mb["obs"], mb["priv"],
+                             method=ActorCritic.distribution)
+        log_prob = normal_log_prob(mean, std, mb["actions"])
+        value = ac.apply(params, mb["obs"], mb["priv"],
+                         method=ActorCritic.evaluate)
+        entropy = normal_entropy(std)
+
+        kl = jnp.mean(normal_kl(mb["mu"], mb["sigma"], mean, std))
+
+        ratio = jnp.exp(log_prob - mb["log_prob"])
+        surr = -mb["adv"] * ratio
+        surr_clipped = -mb["adv"] * jnp.clip(
+            ratio, 1.0 - ppo_args.clip_param, 1.0 + ppo_args.clip_param)
+        surrogate_loss = jnp.mean(jnp.maximum(surr, surr_clipped))
+
+        if ppo_args.use_clipped_value_loss:
+            v_clipped = mb["values"] + jnp.clip(
+                value - mb["values"], -ppo_args.clip_param,
+                ppo_args.clip_param)
+            v_loss = jnp.maximum((value - mb["ret"]) ** 2,
+                                 (v_clipped - mb["ret"]) ** 2).mean()
+        else:
+            v_loss = jnp.mean((mb["ret"] - value) ** 2)
+
+        loss = (surrogate_loss + ppo_args.value_loss_coef * v_loss
+                - ppo_args.entropy_coef * jnp.mean(entropy))
+        return loss, dict(value_loss=v_loss, surrogate_loss=surrogate_loss,
+                          kl=jax.lax.stop_gradient(kl))
+
+    def adapt_loss_fn(params, mb):
+        pred = ac.apply(params, mb["hist"],
+                        method=ActorCritic.student_latent)
+        target = jax.lax.stop_gradient(
+            ac.apply(params, mb["priv"], method=ActorCritic.teacher_latent))
+        return jnp.mean((pred - target) ** 2)
+
+    def minibatch_step(carry, idx):
+        params, opt_state, adapt_opt_state, lr = carry
+        mb = {k: v[idx] for k, v in data.items()}
+
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, mb)
+        if grad_sync is not None:
+            grads = jax.tree.map(grad_sync, grads)
+            aux = {**aux, "kl": grad_sync(aux["kl"])}
+
+        # adaptive-KL LR schedule (ppo.py:110-124), applied to this step
+        if ppo_args.desired_kl is not None and ppo_args.schedule == "adaptive":
+            kl = aux["kl"]
+            lr = jnp.where(kl > ppo_args.desired_kl * 2.0,
+                           jnp.maximum(1e-5, lr / 1.5), lr)
+            lr = jnp.where((kl < ppo_args.desired_kl / 2.0) & (kl > 0.0),
+                           jnp.minimum(1e-2, lr * 1.5), lr)
+
+        updates, opt_state = tx.update(grads, opt_state, params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+
+        # adaptation module distillation step (ppo.py:156-170)
+        a_loss = jnp.asarray(0.0)
+        for _ in range(ppo_args.num_adaptation_module_substeps):
+            a_loss_i, a_grads = jax.value_and_grad(adapt_loss_fn)(params, mb)
+            if grad_sync is not None:
+                a_grads = jax.tree.map(grad_sync, a_grads)
+                a_loss_i = grad_sync(a_loss_i)
+            a_updates, adapt_opt_state = adapt_tx.update(
+                a_grads, adapt_opt_state, params)
+            params = optax.apply_updates(params, a_updates)
+            a_loss = a_loss + a_loss_i
+        a_loss = a_loss / ppo_args.num_adaptation_module_substeps
+
+        metrics = dict(value_loss=aux["value_loss"],
+                       surrogate_loss=aux["surrogate_loss"],
+                       adaptation_loss=a_loss, kl=aux["kl"], lr=lr)
+        return (params, opt_state, adapt_opt_state, lr), metrics
+
+    # epochs x minibatches flattened into one scan
+    idx_seq = jnp.tile(chunks, (ppo_args.num_learning_epochs, 1))
+    carry = (state.params, state.opt_state, state.adapt_opt_state, state.lr)
+    carry, metrics = jax.lax.scan(minibatch_step, carry, idx_seq)
+    params, opt_state, adapt_opt_state, lr = carry
+
+    mean_metrics = {f"mean_{k}" if "loss" in k else k: jnp.mean(v)
+                    for k, v in metrics.items()}
+    mean_metrics["lr"] = lr
+    return PPOState(params, opt_state, adapt_opt_state, lr), mean_metrics
+
+
+# ---------------------------------------------------------------------------
+def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
+                         num_steps_per_env: int, eval_expert: bool = False,
+                         grad_sync=None):
+    """One full training iteration: rollout + GAE + update
+    (the per-iteration block of Runner.learn, ppo/__init__.py:123-203),
+    fused for jit."""
+
+    def train_iteration(env_state, ppo_state: PPOState, key):
+        k_roll, k_update = jax.random.split(key)
+        env_state, traj, infos = rollout(
+            env, ac, ppo_args, ppo_state.params, env_state, k_roll,
+            num_steps_per_env, eval_expert)
+
+        last_values = ac.apply(ppo_state.params, env_state.obs,
+                               env_state.privileged_obs,
+                               method=ActorCritic.evaluate)
+        advantages, returns = compute_gae(
+            traj, last_values, ppo_args.gamma, ppo_args.lam)
+
+        ppo_state, update_metrics = ppo_update(
+            ac, ppo_args, ppo_state, traj, advantages, returns, k_update,
+            env.num_train_envs, grad_sync=grad_sync)
+
+        # aggregate rollout episode metrics over the T axis: episode-sum
+        # accumulators add up; instantaneous gauges take the last step
+        rollout_metrics = {}
+        for k, v in infos.items():
+            if "/sum" in k or k.endswith("_count"):
+                rollout_metrics[k] = jnp.sum(v, axis=0)
+            else:
+                rollout_metrics[k] = v[-1]
+        rollout_metrics["mean_reward"] = jnp.mean(traj.rewards)
+        rollout_metrics["mean_episode_dones"] = jnp.mean(
+            traj.dones.astype(jnp.float32))
+        return env_state, ppo_state, {**rollout_metrics, **update_metrics}
+
+    return train_iteration

@@ -64,17 +64,50 @@ def terrain_height_min3(grid: TerrainGrid, x: jnp.ndarray, y: jnp.ndarray
     return jnp.minimum(jnp.minimum(h[ix, iy], h[ix + 1, iy]), h[ix, iy + 1])
 
 
+def terrain_height_and_normal(grid: TerrainGrid, x: jnp.ndarray,
+                              y: jnp.ndarray
+                              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear height AND unit normal from ONE 4-corner lookup.
+
+    The normal is the analytic gradient of the bilinear patch — no extra
+    gathers (TPU gathers are the expensive primitive here)."""
+    h = grid.height
+    s = grid.horizontal_scale
+    fx = (x + grid.border_size) / s
+    fy = (y + grid.border_size) / s
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, h.shape[0] - 2)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, h.shape[1] - 2)
+    tx = jnp.clip(fx - ix, 0.0, 1.0)
+    ty = jnp.clip(fy - iy, 0.0, 1.0)
+    h00 = h[ix, iy]
+    h10 = h[ix + 1, iy]
+    h01 = h[ix, iy + 1]
+    h11 = h[ix + 1, iy + 1]
+    height = ((1 - tx) * (1 - ty) * h00 + tx * (1 - ty) * h10
+              + (1 - tx) * ty * h01 + tx * ty * h11)
+    dhdx = ((1 - ty) * (h10 - h00) + ty * (h11 - h01)) / s
+    dhdy = ((1 - tx) * (h01 - h00) + tx * (h11 - h10)) / s
+    n = jnp.stack((-dhdx, -dhdy, jnp.ones_like(x)), axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return height, n
+
+
 def terrain_normal(grid: TerrainGrid, x: jnp.ndarray, y: jnp.ndarray
                    ) -> jnp.ndarray:
-    """Unit surface normal from central differences of the height grid."""
-    s = grid.horizontal_scale
-    hx1 = terrain_height_bilinear(grid, x + s, y)
-    hx0 = terrain_height_bilinear(grid, x - s, y)
-    hy1 = terrain_height_bilinear(grid, x, y + s)
-    hy0 = terrain_height_bilinear(grid, x, y - s)
-    n = jnp.stack((-(hx1 - hx0) / (2 * s), -(hy1 - hy0) / (2 * s),
-                   jnp.ones_like(x)), axis=-1)
-    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    """Unit surface normal of the bilinear patch at world (x, y)."""
+    return terrain_height_and_normal(grid, x, y)[1]
+
+
+def sample_terrain(model, terrain: Optional[TerrainGrid],
+                   geom_pos: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-geom terrain height + normal (hoisted out of the substep loop —
+    within one 5 ms control substep the xy drift is well under a grid cell)."""
+    x, y = geom_pos[..., 0], geom_pos[..., 1]
+    if terrain is None:
+        return (jnp.zeros_like(x),
+                jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], geom_pos.dtype),
+                                 geom_pos.shape))
+    return terrain_height_and_normal(terrain, x, y)
 
 
 def contact_forces(
@@ -83,7 +116,7 @@ def contact_forces(
     geom_vel: jnp.ndarray,       # [ng,3] world point velocities
     friction: jnp.ndarray,       # [] per-env robot shape friction
     restitution: jnp.ndarray,    # [] per-env robot restitution
-    terrain: Optional[TerrainGrid],
+    terrain_hn: Tuple[jnp.ndarray, jnp.ndarray],  # per-geom (height, normal)
     *,
     stiffness: float,
     damping: float,
@@ -104,14 +137,8 @@ def contact_forces(
       report: [nr,3] net contact force per report body (the reference's
         contact-force tensor, used for termination/collision/feet logic).
     """
-    x, y, z = geom_pos[..., 0], geom_pos[..., 1], geom_pos[..., 2]
-    if terrain is None:
-        h = jnp.zeros_like(x)
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], geom_pos.dtype),
-                             geom_pos.shape)
-    else:
-        h = terrain_height_bilinear(terrain, x, y)
-        n = terrain_normal(terrain, x, y)
+    z = geom_pos[..., 2]
+    h, n = terrain_hn
 
     r = jnp.asarray(model.geom_radius, jnp.float32)
     m_eff = jnp.asarray(model.mass[model.geom_body], jnp.float32)
@@ -138,10 +165,25 @@ def contact_forces(
 
     forces = n * f_n[..., None] + f_t    # [ng,3]
 
-    # aggregate per report body (segment-sum over static geom->body map)
-    report = jnp.zeros((model.nr, 3), forces.dtype)
-    report = report.at[model.geom_report_body].add(forces)
+    # aggregate per report body: one-hot matmul (static geom->body map);
+    # avoids TPU scatter, runs on the MXU
+    onehot = _report_onehot(model)
+    report = jnp.einsum("rg,gc->rc", onehot, forces)
     return forces, report
+
+
+def _report_onehot(model) -> jnp.ndarray:
+    import numpy as np
+    oh = np.zeros((model.nr, model.ng), np.float32)
+    oh[model.geom_report_body, np.arange(model.ng)] = 1.0
+    return jnp.asarray(oh)
+
+
+def _body_onehot(model) -> jnp.ndarray:
+    import numpy as np
+    oh = np.zeros((model.nb, model.ng), np.float32)
+    oh[model.geom_body, np.arange(model.ng)] = 1.0
+    return jnp.asarray(oh)
 
 
 def spatial_forces_on_bodies(model, frames, geom_pos: jnp.ndarray,
@@ -155,5 +197,4 @@ def spatial_forces_on_bodies(model, frames, geom_pos: jnp.ndarray,
     n_b = jnp.einsum("gji,gj->gi", Rb, torque_w)  # R^T @ t
     f_b = jnp.einsum("gji,gj->gi", Rb, forces)
     f6 = jnp.concatenate((n_b, f_b), axis=-1)     # [ng,6]
-    out = jnp.zeros((model.nb, 6), forces.dtype)
-    return out.at[gb].add(f6)
+    return jnp.einsum("bg,gc->bc", _body_onehot(model), f6)

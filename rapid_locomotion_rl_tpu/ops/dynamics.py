@@ -191,7 +191,7 @@ def aba(model, state: SimState, tau: jnp.ndarray,
     if fixed_base:
         a0_rel = -a_grav                     # true accel == 0
     else:
-        a0_rel = -jnp.linalg.solve(IA[0], pA[0])
+        a0_rel = -S.solve_psd6(IA[0], pA[0])
 
     # ---- pass 3: accelerations forward ---------------------------------
     a = [a0_rel]

@@ -14,7 +14,8 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .contact import (TerrainGrid, contact_forces, spatial_forces_on_bodies)
+from .contact import (TerrainGrid, contact_forces, sample_terrain,
+                      spatial_forces_on_bodies)
 from .dynamics import (PhysParams, SimState, aba, fk, geom_world_positions,
                        integrate, joint_limit_torque)
 
@@ -43,15 +44,19 @@ def physics_step(
 
     report = None
     geom_pos0 = None
+    terrain_hn = None
     for _ in range(nsub):
         frames = fk(model, state)
         geom_pos, geom_vel = geom_world_positions(model, frames)
         if geom_pos0 is None:
             geom_pos0 = geom_pos
+            # terrain gathers are the expensive primitive: sample height +
+            # normal once per 5 ms control substep (xy drift ≪ grid cell)
+            terrain_hn = sample_terrain(model, terrain, geom_pos)
 
         forces, report = contact_forces(
             model, geom_pos, geom_vel,
-            params.friction, params.restitution, terrain,
+            params.friction, params.restitution, terrain_hn,
             stiffness=sim_cfg.contact_stiffness,
             damping=sim_cfg.contact_damping,
             friction_vel_eps=sim_cfg.friction_vel_eps,

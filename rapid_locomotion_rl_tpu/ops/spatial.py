@@ -91,6 +91,41 @@ def crm(v: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def solve_psd6(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve A x = b for symmetric positive-definite 6x6 A via a fully
+    unrolled Cholesky — every op is elementwise over the batch axes, so XLA
+    fuses the whole solve (batched `linalg.solve` lowers to a slow pivoting
+    loop on TPU)."""
+    n = 6
+    L = [[None] * n for _ in range(n)]
+    for j in range(n):
+        s = A[..., j, j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        L[j][j] = jnp.sqrt(jnp.maximum(s, 1e-12))
+        inv_d = 1.0 / L[j][j]
+        for i in range(j + 1, n):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv_d
+    # forward substitution: L y = b
+    y = [None] * n
+    for i in range(n):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # back substitution: L^T x = y
+    x = [None] * n
+    for i in reversed(range(n)):
+        s = y[i]
+        for k in range(i + 1, n):
+            s = s - L[k][i] * x[k]
+        x[i] = s / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def crf(v: jnp.ndarray, f: jnp.ndarray) -> jnp.ndarray:
     """Spatial force cross product v ×* f."""
     n, fl = f[..., :3], f[..., 3:]
