@@ -61,6 +61,10 @@ class EnvCfg:
 
     # fraction of envs used for training; rest are eval envs (base_task.py:43-50)
     num_eval_envs: int = 0
+    # False = the dhruvmetha-fork low-level semantics for HLP stacking
+    # (legged_robot.py:177, :196-198: terminations are *reported* but the env
+    # does not reset or resample itself; the outer layer calls reset_envs)
+    auto_reset: bool = True
 
 
 @dataclass

@@ -1,0 +1,262 @@
+"""Hierarchical high-level policy (HLP) environment: goal navigation by
+driving a FROZEN low-level locomotion policy with velocity commands.
+
+Re-creates the reference `HighLevelControlWrapper`
+(reference scripts/high_level_play.py:16-363): a VecEnv whose "physics" is a
+frozen student policy + the low-level env. Here both collapse into one
+jittable step (SURVEY.md §3.4):
+
+    hl_action (vx, vy, ωz) -> ll commands
+    ll_action = student_policy(ll_obs, ll_obs_history)   # frozen params
+    ll_env.step(...)                                     # auto_reset=False
+    hl reward / termination / masked resets
+
+Semantics preserved from the reference:
+
+- 14-d obs = base_pos(3) + base_lin_vel(3) + base_ang_vel(3) + actions(3)
+  + goal(2) (:165); actions clamped to ±2 with small-xy zeroing (:132-133);
+- step rewards x dt: distance -0.1, action_rate -0.01, lateral_vel -0.05,
+  backward_vel -0.005 (:16-28, :89-96); terminal rewards (NOT x dt):
+  goal reached +5, ll termination -2, timeout -1 (:19-22);
+- termination: goal within 0.1 m | ll done | 10 s timeout (:189-196);
+- 95/5 train/eval env split (:40);
+- the reference zeroes `rew_buf[env_ids]` during reset_idx AFTER terminal
+  rewards were added (:222), so the learner never actually sees terminal
+  rewards; reproduced behind ``zero_reward_on_reset`` (default True).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.networks import ACArgs, ActorCritic
+from .legged_robot import EnvState, LeggedRobotEnv, StepResult
+
+
+class HLPRewardScales:
+    """reference high_level_play.py:16-28."""
+    # terminal (not dt-scaled)
+    terminal_distance_covered = 0.0
+    terminal_distance_gs = 5.0
+    terminal_ll_reset = -2.0
+    terminal_time_out = -1.0
+    # per-step (dt-scaled)
+    distance = -0.1
+    action_rate = -0.01
+    lateral_vel = -0.05
+    backward_vel = -0.005
+
+
+class HLPState(NamedTuple):
+    ll: EnvState
+    actions: jnp.ndarray          # [N,3]
+    last_actions: jnp.ndarray     # [N,3]
+    episode_length: jnp.ndarray   # [N] int32
+    last_pos: jnp.ndarray         # [N,3] base pos rel. to env origin
+    dist_travelled: jnp.ndarray   # [N]
+    goal_position: jnp.ndarray    # [N,2]
+    episode_sums: Dict[str, jnp.ndarray]
+    obs: jnp.ndarray              # [N,14]
+    privileged_obs: jnp.ndarray   # [N,18] (zeros; reference :66)
+    obs_history: jnp.ndarray      # [N,16] (zeros; reference :67)
+    key: jnp.ndarray
+
+
+class HighLevelControlEnv:
+    """Jittable goal-navigation env over a frozen low-level policy."""
+
+    num_obs = 14
+    num_actions = 3
+    num_privileged_obs = 18
+    num_obs_history = 16
+    max_episode_length_s = 10.0
+
+    def __init__(self, ll_env: LeggedRobotEnv, ll_params,
+                 goal=(3.0, 0.0), train_frac: float = 0.95,
+                 zero_reward_on_reset: bool = True,
+                 scales: type = HLPRewardScales,
+                 ll_ac_args: ACArgs = None):
+        assert not ll_env.cfg.env.auto_reset, \
+            "the low-level env must be built with env.auto_reset=False"
+        self.ll_env = ll_env
+        self.ll_params = ll_params
+        self.ll_ac = ActorCritic(
+            ll_env.num_obs, ll_env.num_privileged_obs,
+            ll_env.num_obs_history, ll_env.num_actions,
+            ll_ac_args or ACArgs())
+        self.num_envs = ll_env.num_envs
+        self.num_train_envs = max(1, int(self.num_envs * train_frac))
+        self.num_eval_envs = self.num_envs - self.num_train_envs
+        self.dt = ll_env.dt
+        self.max_episode_length = int(self.max_episode_length_s / self.dt)
+        self.goal = jnp.asarray(goal, jnp.float32)
+        self.zero_reward_on_reset = zero_reward_on_reset
+
+        self.step_scales = {
+            k: getattr(scales, k) * self.dt
+            for k in ("distance", "action_rate", "lateral_vel",
+                      "backward_vel")
+            if getattr(scales, k) != 0.0}
+        self.terminal_scales = {
+            k: getattr(scales, k)
+            for k in ("terminal_distance_covered", "terminal_distance_gs",
+                      "terminal_ll_reset", "terminal_time_out")
+            if getattr(scales, k) != 0.0}
+        self.episode_sum_keys = (list(self.step_scales)
+                                 + list(self.terminal_scales) + ["total"])
+
+    # ------------------------------------------------------------------
+    def _base_pos(self, ll: EnvState) -> jnp.ndarray:
+        init = jnp.asarray(self.ll_env.cfg.init_state.pos, jnp.float32)
+        return ll.sim.base_pos - ll.env_origins - init
+
+    def initial_state(self, key: jnp.ndarray) -> HLPState:
+        k_ll, k_self = jax.random.split(key)
+        ll = self.ll_env.initial_state(k_ll)
+        ll = ll._replace(commands=ll.commands.at[:, :3].set(0.0))
+        N = self.num_envs
+        base_pos = self._base_pos(ll)
+        state = HLPState(
+            ll=ll,
+            actions=jnp.zeros((N, 3)), last_actions=jnp.zeros((N, 3)),
+            episode_length=jnp.zeros(N, jnp.int32),
+            last_pos=base_pos, dist_travelled=jnp.zeros(N),
+            goal_position=jnp.broadcast_to(self.goal, (N, 2)),
+            episode_sums={k: jnp.zeros(N) for k in self.episode_sum_keys},
+            obs=jnp.zeros((N, self.num_obs)),
+            privileged_obs=jnp.zeros((N, self.num_privileged_obs)),
+            obs_history=jnp.zeros((N, self.num_obs_history)),
+            key=k_self)
+        return state._replace(obs=self._observe(state, jnp.zeros((N, 3))))
+
+    def _observe(self, state: HLPState, actions) -> jnp.ndarray:
+        ll = state.ll
+        from ..ops import quat as Q
+        base_lin = Q.quat_rotate_inverse(ll.sim.base_quat, ll.sim.base_lin_vel)
+        base_ang = Q.quat_rotate_inverse(ll.sim.base_quat, ll.sim.base_ang_vel)
+        return jnp.concatenate([
+            self._base_pos(ll), base_lin, base_ang, actions,
+            state.goal_position], axis=-1)
+
+    # ------------------------------------------------------------------
+    def step(self, state: HLPState, actions: jnp.ndarray
+             ) -> Tuple[HLPState, StepResult]:
+        N = self.num_envs
+        # clamp + zero small commands (reference :132-133)
+        actions = jnp.clip(actions, -2.0, 2.0)
+        keep = (jnp.linalg.norm(actions[:, :2], axis=-1) > 0.2)[:, None]
+        actions = actions.at[:, :2].multiply(keep.astype(actions.dtype))
+
+        # frozen low-level student policy (act_inference path, :134-138)
+        ll = state.ll._replace(
+            commands=state.ll.commands.at[:, :3].set(actions))
+        ll_actions = self.ll_ac.apply(self.ll_params, ll.obs, ll.obs_history,
+                                      method=ActorCritic.act_student)
+        ll, ll_res = self.ll_env.step(ll, ll_actions)
+        ll_dones = ll_res.done
+
+        episode_length = state.episode_length + 1
+
+        # post_physics_step quantities (:152-158)
+        base_pos = self._base_pos(ll)
+        from ..ops import quat as Q
+        base_lin = Q.quat_rotate_inverse(ll.sim.base_quat, ll.sim.base_lin_vel)
+        dist_travelled = state.dist_travelled + jnp.linalg.norm(
+            base_pos - state.last_pos, axis=-1)
+        lateral_vel = base_lin[:, 1]
+        backward_vel = jnp.clip(base_lin[:, 0], None, 0.0)
+
+        # termination (:189-196)
+        gs_buf = jnp.linalg.norm(base_pos[:, :2] - state.goal_position,
+                                 axis=-1) < 0.1
+        time_buf = episode_length > self.max_episode_length
+        reset_buf = ll_dones | gs_buf | time_buf
+
+        # rewards (:170-187); distance uses last_pos (pre-step position)
+        terms = {
+            "distance": jnp.linalg.norm(
+                state.last_pos[:, :2] - state.goal_position, axis=-1),
+            "action_rate": jnp.sum(
+                (state.last_actions - actions) ** 2, axis=-1),
+            "lateral_vel": lateral_vel ** 2,
+            "backward_vel": backward_vel ** 2,
+        }
+        terminal_terms = {
+            "terminal_distance_covered": dist_travelled,
+            "terminal_distance_gs": gs_buf.astype(jnp.float32),
+            "terminal_ll_reset": ll_dones.astype(jnp.float32),
+            "terminal_time_out": time_buf.astype(jnp.float32),
+        }
+        rew_buf = jnp.zeros(N)
+        episode_sums = dict(state.episode_sums)
+        for k, scale in self.step_scales.items():
+            r = terms[k] * scale
+            rew_buf = rew_buf + r
+            episode_sums[k] = episode_sums[k] + r
+        for k, scale in self.terminal_scales.items():
+            r = terminal_terms[k] * scale
+            rew_buf = rew_buf + r
+            episode_sums[k] = episode_sums[k] + r
+        episode_sums["total"] = episode_sums["total"] + rew_buf
+
+        # episode metric flush for reset envs (:201-219)
+        train_mask = jnp.arange(N) < self.num_train_envs
+        reset_train = reset_buf & train_mask
+        reset_eval = reset_buf & ~train_mask
+        info: Dict[str, Any] = {
+            "train_reset_count": jnp.sum(reset_train),
+            "eval_reset_count": jnp.sum(reset_eval),
+            "time_outs": time_buf,
+            "env_bins": jnp.zeros(N, jnp.int32),
+            "goal_reached_count": jnp.sum(gs_buf),
+        }
+        for k in self.episode_sum_keys:
+            info[f"train/episode/rew_{k}/sum"] = jnp.sum(
+                jnp.where(reset_train, episode_sums[k], 0.0))
+            info[f"eval/episode/rew_{k}/sum"] = jnp.sum(
+                jnp.where(reset_eval, episode_sums[k], 0.0))
+        for k in episode_sums:
+            episode_sums[k] = jnp.where(reset_buf, 0.0, episode_sums[k])
+
+        # masked resets: HLP buffers + the low level (:221-231)
+        ll = self.ll_env.reset_envs(ll, reset_buf)
+        new_base_pos = self._base_pos(ll)
+        rb = reset_buf[:, None]
+        if self.zero_reward_on_reset:
+            # reference :222 zeroes rew_buf for reset envs AFTER terminal
+            # rewards were granted — faithful reproduction
+            rew_buf = jnp.where(reset_buf, 0.0, rew_buf)
+
+        new_state = HLPState(
+            ll=ll,
+            actions=actions, last_actions=actions,
+            episode_length=jnp.where(reset_buf, 0, episode_length),
+            last_pos=new_base_pos,
+            dist_travelled=jnp.where(reset_buf, 0.0, dist_travelled),
+            goal_position=state.goal_position,
+            episode_sums=episode_sums,
+            obs=state.obs, privileged_obs=state.privileged_obs,
+            obs_history=state.obs_history,
+            key=state.key)
+        obs = self._observe(new_state, actions)
+        new_state = new_state._replace(obs=obs)
+
+        return new_state, StepResult(
+            obs=obs, privileged_obs=new_state.privileged_obs,
+            obs_history=new_state.obs_history,
+            rew=rew_buf, done=reset_buf, info=info)
+
+    # ------------------------------------------------------------------
+    def reset_envs(self, state: HLPState, mask) -> HLPState:
+        ll = self.ll_env.reset_envs(state.ll, mask)
+        m1 = mask[:, None]
+        return state._replace(
+            ll=ll,
+            episode_length=jnp.where(mask, 0, state.episode_length),
+            dist_travelled=jnp.where(mask, 0.0, state.dist_travelled),
+            last_pos=jnp.where(m1, self._base_pos(ll), state.last_pos),
+            episode_sums={k: jnp.where(mask, 0.0, v)
+                          for k, v in state.episode_sums.items()})

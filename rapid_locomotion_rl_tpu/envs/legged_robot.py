@@ -610,8 +610,13 @@ class LeggedRobotEnv:
         # ---- termination (legged_robot.py:190-202, upstream semantics) -
         term_f = report[:, list(self.termination_contact_indices), :]
         reset_buf = jnp.any(jnp.linalg.norm(term_f, axis=-1) > 1.0, axis=-1)
-        time_out_buf = episode_length > self.derived.max_episode_length
-        reset_buf = reset_buf | time_out_buf
+        if cfg.env.auto_reset:
+            time_out_buf = episode_length > self.derived.max_episode_length
+            reset_buf = reset_buf | time_out_buf
+        else:
+            # HLP low-level mode (fork legged_robot.py:196-198): report
+            # contact terminations only; never time out or self-reset
+            time_out_buf = jnp.zeros_like(reset_buf)
         base_height = jnp.mean(
             sim.base_pos[:, 2:3] - measured_heights, axis=-1)
         if cfg.rewards.use_terminal_body_height:
@@ -657,11 +662,14 @@ class LeggedRobotEnv:
         rew_buf = jnp.zeros(N)
         episode_sums = dict(state.episode_sums)
         command_sums = dict(state.command_sums)
+        rew_term_gauges = {}
         for name in self.reward_names:
             term = R.REWARD_REGISTRY[name](ctx) * self.reward_scales[name]
             rew_buf = rew_buf + term
             episode_sums[name] = episode_sums[name] + term
             command_sums[name] = command_sums[name] + term
+            rew_term_gauges[f"rew_terms/{name}"] = jnp.mean(term)
+        raw_reward_mean = jnp.mean(rew_buf)
         if cfg.rewards.only_positive_rewards:
             rew_buf = jnp.clip(rew_buf, 0.0, None)
         episode_sums["total"] = episode_sums["total"] + rew_buf
@@ -683,9 +691,15 @@ class LeggedRobotEnv:
         command_sums["ep_timesteps"] = command_sums["ep_timesteps"] + 1.0
 
         # ---- command resampling + curriculum ---------------------------
+        # auto_reset=False (HLP mode) reports dones but applies no resets
+        apply_reset = (reset_buf if cfg.env.auto_reset
+                       else jnp.zeros_like(reset_buf))
         # mid-episode resample (legged_robot.py:578-581) OR reset resample
         # (upstream reset_idx -> _resample_commands)
-        resample_mask = (episode_length % self.resample_interval == 0) | reset_buf
+        resample_mask = ((episode_length % self.resample_interval == 0)
+                         | apply_reset)
+        if not cfg.env.auto_reset:
+            resample_mask = jnp.zeros_like(apply_reset)
         train_mask = jnp.arange(N) < self.num_train_envs
         cstate = state.curriculum
         commands = state.commands
@@ -724,17 +738,17 @@ class LeggedRobotEnv:
                 k_terrain, (N,), 0, cfg.terrain.num_rows)
             lvl = jnp.where(lvl >= cfg.terrain.num_rows, rand_lvl,
                             jnp.clip(lvl, 0, None))
-            new_levels = jnp.where(reset_buf, lvl, terrain_levels)
+            new_levels = jnp.where(apply_reset, lvl, terrain_levels)
             terrain_levels = new_levels
             t_origins = jnp.asarray(self.terrain_origins, jnp.float32)
             new_origin = t_origins[terrain_levels, state.terrain_types]
-            env_origins = jnp.where(reset_buf[:, None], new_origin,
+            env_origins = jnp.where(apply_reset[:, None], new_origin,
                                     env_origins)
 
         # ---- episode metric flush (reset_idx extras,
         # legged_robot.py:260-290) as masked reductions -------------------
-        reset_train = reset_buf & train_mask
-        reset_eval = reset_buf & ~train_mask
+        reset_train = apply_reset & train_mask
+        reset_eval = apply_reset & ~train_mask
         info: Dict[str, Any] = {}
         n_rt = jnp.sum(reset_train)
         n_re = jnp.sum(reset_eval)
@@ -753,32 +767,38 @@ class LeggedRobotEnv:
                 jnp.sum(cstate.weights) / cstate.weights.shape[0])
         info["env_bins"] = env_bins
         info["time_outs"] = time_out_buf
+        info["raw_reward_mean"] = raw_reward_mean
+        info.update(rew_term_gauges)
+        info["done_rate"] = jnp.mean(reset_buf.astype(jnp.float32))
+        info["ep_len_mean"] = jnp.mean(episode_length.astype(jnp.float32))
+        info["cmd_norm_mean"] = jnp.mean(
+            jnp.linalg.norm(commands[:, :2], axis=-1))
 
         # zero episode sums of reset envs
         for k in episode_sums:
-            episode_sums[k] = jnp.where(reset_buf, 0.0, episode_sums[k])
+            episode_sums[k] = jnp.where(apply_reset, 0.0, episode_sums[k])
 
         # ---- DR resample on reset (reset_idx -> _randomize_dof_props +
         # rigid-body props; per-env tensors make the latter free) ---------
         k_r1, k_r2, k_r3 = jax.random.split(k_reset, 3)
         motor, kpf, kdf = self._sample_dof_props(k_r1, N)
         fric, rest, payl, com = self._sample_rigid_body_props(k_r2, N)
-        rb = reset_buf[:, None]
+        rb = apply_reset[:, None]
         dr = DRState(
-            friction=jnp.where(reset_buf, fric, dr.friction),
-            restitution=jnp.where(reset_buf, rest, dr.restitution),
-            payloads=jnp.where(reset_buf, payl, dr.payloads),
+            friction=jnp.where(apply_reset, fric, dr.friction),
+            restitution=jnp.where(apply_reset, rest, dr.restitution),
+            payloads=jnp.where(apply_reset, payl, dr.payloads),
             com_displacements=jnp.where(rb, com, dr.com_displacements),
             motor_strengths=jnp.where(rb, motor, dr.motor_strengths),
             Kp_factors=jnp.where(rb, kpf, dr.Kp_factors),
             Kd_factors=jnp.where(rb, kdf, dr.Kd_factors))
 
         # ---- masked state reset (reset_idx, legged_robot.py:227-259) ----
-        sim = self._reset_sim_states(reset_buf, sim, env_origins, k_r3)
+        sim = self._reset_sim_states(apply_reset, sim, env_origins, k_r3)
         last_actions = jnp.where(rb, 0.0, actions)
         last_dof_vel = jnp.where(rb, 0.0, sim.qd)
         feet_air_time = jnp.where(rb, 0.0, feet_air_time)
-        new_episode_length = jnp.where(reset_buf, 0, episode_length)
+        new_episode_length = jnp.where(apply_reset, 0, episode_length)
 
         new_state = state._replace(
             sim=sim, dr=dr, commands=commands, env_command_bins=env_bins,

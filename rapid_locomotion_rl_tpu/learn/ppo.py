@@ -218,7 +218,9 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
 
         kl = jnp.mean(normal_kl(mb["mu"], mb["sigma"], mean, std))
 
-        ratio = jnp.exp(log_prob - mb["log_prob"])
+        # clamp the log-ratio before exp: inf ratios (far-tail samples after
+        # several minibatch updates) would NaN the whole parameter tree
+        ratio = jnp.exp(jnp.clip(log_prob - mb["log_prob"], -20.0, 20.0))
         surr = -mb["adv"] * ratio
         surr_clipped = -mb["adv"] * jnp.clip(
             ratio, 1.0 - ppo_args.clip_param, 1.0 + ppo_args.clip_param)
@@ -267,9 +269,12 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
         updates = jax.tree.map(lambda u: u * lr, updates)
         params = optax.apply_updates(params, updates)
 
-        # adaptation module distillation step (ppo.py:156-170)
+        # adaptation module distillation step (ppo.py:156-170); gated off
+        # for the latent-free HLP variant (high_level_policy/ppo.py:157-179)
         a_loss = jnp.asarray(0.0)
-        for _ in range(ppo_args.num_adaptation_module_substeps):
+        n_adapt = (ppo_args.num_adaptation_module_substeps
+                   if ac.args.use_latent else 0)
+        for _ in range(n_adapt):
             a_loss_i, a_grads = jax.value_and_grad(adapt_loss_fn)(params, mb)
             if grad_sync is not None:
                 a_grads = jax.tree.map(grad_sync, a_grads)
@@ -278,7 +283,7 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
                 a_grads, adapt_opt_state, params)
             params = optax.apply_updates(params, a_updates)
             a_loss = a_loss + a_loss_i
-        a_loss = a_loss / ppo_args.num_adaptation_module_substeps
+        a_loss = a_loss / max(n_adapt, 1)
 
         metrics = dict(value_loss=aux["value_loss"],
                        surrogate_loss=aux["surrogate_loss"],

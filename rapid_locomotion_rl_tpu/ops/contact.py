@@ -149,9 +149,12 @@ def contact_forces(
     v_n = jnp.sum(geom_vel * n, axis=-1)
     v_t = geom_vel - n * v_n[..., None]
 
-    # normal: implicit penalty spring + restitution-modulated damping
+    # normal: FULLY implicit penalty spring-damper — solve
+    #   f = k·(δ - dt·v_n') - c·v_n',   v_n' = v_n + f·dt/m
+    # for f, which is unconditionally stable and keeps more static
+    # stiffness than damping-only implicitness
     zeta = jnp.clip(1.0 - restitution, 0.08, 1.0)
-    c_n = zeta * damping
+    c_n = zeta * damping + stiffness * dt
     f_n = jnp.maximum(
         (stiffness * depth - c_n * v_n) / (1.0 + c_n * dt / m_eff), 0.0
     ) * in_contact

@@ -176,7 +176,8 @@ def aba(model, state: SimState, tau: jnp.ndarray,
         j = i - 1
         Si = Ss[i]
         U[i] = IA[i] @ Si
-        d[i] = Si @ U[i] + jnp.asarray(model.dof_armature[j], f32)
+        d[i] = jnp.maximum(Si @ U[i] + jnp.asarray(model.dof_armature[j], f32),
+                           1e-9)
         u[i] = tau[j] - Si @ pA[i]
         par = int(model.parent[i])
         Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]

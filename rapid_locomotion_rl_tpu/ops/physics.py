@@ -78,6 +78,11 @@ def physics_step(
                       params.payload, params.com_displacement,
                       fixed_base=fixed_base)
         state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
+        # enforce the URDF per-DOF velocity limit, as IsaacGym does with
+        # dof_props 'velocity' (legged_robot.py:509) — without this, free
+        # flailing legs reach nonphysical speeds and destabilize training
+        vel_lim = jnp.asarray(model.dof_velocity, jnp.float32)
+        state = state._replace(qd=jnp.clip(state.qd, -vel_lim, vel_lim))
     return StepOutput(state, report, geom_pos0)
 
 

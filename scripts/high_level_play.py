@@ -1,0 +1,75 @@
+"""Hierarchical HLP training entry (reference scripts/high_level_play.py:368-393):
+train a 3-action high-level goal-navigation policy on top of a frozen
+low-level locomotion policy loaded from the latest run.
+
+The reference's `high_level_policy/` package is a near-copy of the PPO stack
+with tanh activation, USE_LATENT=False and 200 steps/env/iter
+(high_level_policy/ppo/__init__.py:49, actor_critic.py:15,40-84); here those
+are just parameters of the shared learner.
+"""
+
+import argparse
+import os
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--num-envs", type=int, default=1024)
+    ap.add_argument("--iterations", type=int, default=1000)
+    ap.add_argument("--ll-run", default=None,
+                    help="low-level run dir (default: latest under runs/)")
+    ap.add_argument("--logdir", default=None)
+    args = ap.parse_args()
+
+    from rapid_locomotion_rl_tpu.config import Cfg
+    from rapid_locomotion_rl_tpu.envs.hlp import HighLevelControlEnv
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+    from rapid_locomotion_rl_tpu.learn.runner import Runner, RunnerArgs
+    from rapid_locomotion_rl_tpu.models.networks import ACArgs
+    from rapid_locomotion_rl_tpu.utils.checkpoint import load_pytree
+    import json
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from play import latest_run
+
+    ll_run = args.ll_run or latest_run()
+    print(f"frozen low-level policy from {ll_run}")
+    with open(os.path.join(ll_run, "parameters.json")) as f:
+        blob = json.load(f)
+    cfg = Cfg.from_dict(blob["Cfg"])
+
+    # HLP low-level mode (fork semantics): no self resets, DR off for deploy
+    cfg.env.num_envs = args.num_envs
+    cfg.env.auto_reset = False
+    cfg.noise.add_noise = False
+    cfg.domain_rand.push_robots = False
+    cfg.commands.command_curriculum = False
+    ll_env = LeggedRobotEnv(cfg)
+    payload = load_pytree(
+        os.path.join(ll_run, "checkpoints/train_state_last.pkl"))
+    ll_params = payload["ppo_state"].params
+
+    env = HighLevelControlEnv(ll_env, ll_params)
+    # runner shims: HLP env reuses the low-level config metadata
+    env.cfg = ll_env.cfg
+    env.derived = ll_env.derived
+
+    if args.logdir is None:
+        stamp = datetime.now().strftime("%Y-%m-%d/%H%M%S.%f")
+        args.logdir = f"runs/rapid-locomotion/high_level/{stamp}"
+
+    runner = Runner(
+        env, logdir=args.logdir,
+        ac_args=ACArgs(activation="tanh", use_latent=False),
+        runner_args=RunnerArgs(num_steps_per_env=200),
+        eval_expert=True)
+    runner.learn(args.iterations, eval_freq=200)
+
+
+if __name__ == "__main__":
+    main()
