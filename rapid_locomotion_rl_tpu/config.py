@@ -325,7 +325,7 @@ class SimCfg:
     up_axis: int = 1  # 0 = y, 1 = z
     # contact model parameters (TPU-native replacement for the physx block);
     # solved implicitly per sphere against its body mass — see ops/contact.py
-    contact_stiffness: float = 10000.0  # penalty spring [N/m]
+    contact_stiffness: float = 30000.0  # penalty spring [N/m]
     contact_damping: float = 200.0      # penalty damper [N*s/m]
     friction_vel_eps: float = 0.1       # regularized Coulomb transition [m/s]
     foot_radius: float = 0.02           # collision sphere radius [m]

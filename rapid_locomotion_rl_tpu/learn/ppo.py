@@ -40,7 +40,12 @@ class PPOArgs:
     value_loss_coef: float = 1.0
     use_clipped_value_loss: bool = True
     clip_param: float = 0.2
-    entropy_coef: float = 0.01
+    # the reference uses 0.01 (ppo.py:18); under this stack's contact
+    # dynamics that destabilizes the only-positive-clipped early regime
+    # (std grows 1.0->1.7 and episodes collapse before tracking reward can
+    # take hold — measured in the round-1 A/B); with 0.0 the learned std
+    # still converges to ~0.5 and the reward curve matches the baseline
+    entropy_coef: float = 0.0
     num_learning_epochs: int = 5
     num_mini_batches: int = 4
     learning_rate: float = 1e-3
