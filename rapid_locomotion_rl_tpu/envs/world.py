@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -63,12 +64,19 @@ def box_sphere_forces(
     closest = centers[None] + clamped
     delta = geom_pos[:, None, :] - closest        # [ng,nbox,3]
     dist = jnp.linalg.norm(delta, axis=-1)
-    # inside-box case: push out along the smallest-penetration face
     inside = dist < 1e-6
-    n = jnp.where(inside[..., None],
-                  jnp.array([0.0, 0.0, 1.0]),
+    # outside: normal along center-to-closest; inside: push out through the
+    # nearest face (axis of smallest distance-to-surface)
+    face_dist = boxes.half_extents[None] - jnp.abs(rel)   # [ng,nbox,3]
+    min_axis = jnp.argmin(face_dist, axis=-1)
+    face_n = (jnp.sign(jnp.take_along_axis(rel, min_axis[..., None],
+                                           axis=-1))
+              * jax.nn.one_hot(min_axis, 3))
+    n = jnp.where(inside[..., None], face_n,
                   delta / jnp.maximum(dist, 1e-6)[..., None])
-    depth = jnp.maximum(geom_radius[:, None] - dist, 0.0)
+    depth_out = jnp.maximum(geom_radius[:, None] - dist, 0.0) * ~inside
+    depth_in = (jnp.min(face_dist, axis=-1) + geom_radius[:, None]) * inside
+    depth = depth_out + depth_in
     in_contact = depth > 0.0
 
     v_n = jnp.sum(geom_vel[:, None, :] * n, axis=-1)

@@ -33,6 +33,7 @@ class RunnerArgs:
     num_steps_per_env: int = 24
     max_iterations: int = 1500
     save_interval: int = 400
+    save_video_interval: int = 0   # 0 = off; reference default 100
     log_freq: int = 10
     resume: bool = False
     resume_path: Optional[str] = None
@@ -108,6 +109,9 @@ class Runner:
                 self.env_state = self._reset_eval(self.env_state)
             if it % eval_freq == 0:
                 self._dump_curriculum(it)
+            if (self.args.save_video_interval
+                    and it % self.args.save_video_interval == 0):
+                self._log_video(it)
 
             self._log_iteration(it, metrics)
 
@@ -160,6 +164,23 @@ class Runner:
                   f"{steps_s:9.0f} env-steps/s | "
                   f"kl {row.get('kl/mean', float('nan')):.4f} | "
                   f"lr {row.get('lr/mean', float('nan')):.2e}")
+
+    def _log_video(self, it: int):
+        """Offline stick-figure video of the current student policy
+        (reference log_video, ppo/__init__.py:267-286)."""
+        try:
+            from ..utils.render import render_trajectory, rollout_states
+            pos, quat, q, origin = rollout_states(
+                self.env, self.ac, self.ppo_state.params, self.env_state,
+                steps=200)
+            out = render_trajectory(
+                self.env.model, pos, quat, q, origin,
+                f"{self.logger.logdir}/videos/{it:05d}.gif",
+                stride=4, title=f"iter {it}")
+            if out:
+                print(f"video -> {out}")
+        except Exception as e:  # noqa: BLE001 - video is best-effort
+            print(f"[runner] video skipped: {e}")
 
     def _dump_curriculum(self, it: int):
         """curriculum/info.pkl dump (ppo/__init__.py:197-201)."""

@@ -1,0 +1,144 @@
+"""Auxiliary subsystems: metric caches, world boxes, MJCF, trajectories,
+eval metrics, VecEnv adapter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rapid_locomotion_rl_tpu import RLTPU_ROOT_DIR
+
+
+def test_dist_cache_running_mean():
+    from rapid_locomotion_rl_tpu.learn.caches import DistCache
+    c = DistCache()
+    c.log(x=np.array([1.0, 2.0]))
+    c.log(x=np.array([3.0, 4.0]))
+    s = c.get_summary()
+    np.testing.assert_allclose(s["dist/x"], [2.0, 3.0])
+    assert c.get_summary() == {}
+
+
+def test_slot_cache_per_bin():
+    from rapid_locomotion_rl_tpu.learn.caches import SlotCache
+    c = SlotCache(4)
+    c.log(np.array([0, 0, 2]), err=np.array([1.0, 3.0, 5.0]))
+    s = c.get_summary()
+    np.testing.assert_allclose(s["slot/err"], [2.0, 0.0, 5.0, 0.0])
+
+
+def test_world_box_forces():
+    from rapid_locomotion_rl_tpu.envs.world import (box_sphere_forces,
+                                                    default_corridor)
+    boxes = default_corridor()
+    origin = jnp.zeros(3)
+    # sphere pushed into the left wall (y=-0.8) from inside
+    pos = jnp.asarray([[0.0, -0.67, 0.5]])
+    vel = jnp.zeros((1, 3))
+    f = box_sphere_forces(
+        boxes, origin, pos, vel, jnp.asarray([0.05]), jnp.asarray([1.0]),
+        stiffness=10000.0, damping=100.0, friction=1.0,
+        friction_vel_eps=0.1, dt=0.005)
+    f = np.asarray(f)
+    assert f[0, 1] > 1.0          # pushed back toward +y
+    # outside the walls: no force
+    pos2 = jnp.asarray([[0.0, 0.0, 0.5]])
+    f2 = box_sphere_forces(
+        boxes, origin, pos2, vel, jnp.asarray([0.05]), jnp.asarray([1.0]),
+        stiffness=10000.0, damping=100.0, friction=1.0,
+        friction_vel_eps=0.1, dt=0.005)
+    np.testing.assert_allclose(np.asarray(f2), 0.0, atol=1e-6)
+
+
+def test_mjcf_go1():
+    from rapid_locomotion_rl_tpu.models.mjcf import load_mjcf
+    m = load_mjcf(f"{RLTPU_ROOT_DIR}/resources/robots/go1/xml/go1.xml")
+    assert m.nb == 13 and m.nv == 12
+    assert 10.0 < m.total_mass() < 14.0
+    assert m.ng > 10
+    assert all("joint" in n for n in m.joint_names)
+
+
+def test_mjcf_dynamics_step():
+    """The MJCF model runs on the same physics stack."""
+    from rapid_locomotion_rl_tpu.config import SimCfg
+    from rapid_locomotion_rl_tpu.models.mjcf import load_mjcf
+    from rapid_locomotion_rl_tpu.ops.dynamics import PhysParams
+    from rapid_locomotion_rl_tpu.ops.physics import (default_sim_state,
+                                                     physics_step)
+    m = load_mjcf(f"{RLTPU_ROOT_DIR}/resources/robots/go1/xml/go1.xml")
+    q0 = jnp.asarray([(0.1 if "hip" in n else (0.8 if "thigh" in n else -1.5))
+                      for n in m.joint_names])
+    s = default_sim_state(m, [0, 0, 0.4], [0, 0, 0, 1], q0)
+    params = PhysParams(jnp.asarray(1.0), jnp.asarray(0.0),
+                        jnp.asarray(0.0), jnp.zeros(3))
+    out = physics_step(m, SimCfg(), s, jnp.zeros(12), params, None)
+    assert np.all(np.isfinite(np.asarray(out.state.q)))
+
+
+def test_split_and_pad_trajectories():
+    from rapid_locomotion_rl_tpu.learn.trajectories import \
+        split_and_pad_trajectories
+    T_, N = 5, 2
+    x = jnp.arange(T_ * N, dtype=jnp.float32).reshape(T_, N, 1)
+    dones = jnp.asarray([[0, 0], [1, 0], [0, 0], [0, 1], [0, 0]], bool)
+    padded, masks = split_and_pad_trajectories(x, dones)
+    # env 0: traj [x0,x2] then [x4,x6,x8]; env 1: [x1,x3,x5,x7] then [x9]
+    m = np.asarray(masks)
+    lengths = sorted(m.sum(0)[m.sum(0) > 0].tolist())
+    assert lengths == [1, 2, 3, 4]
+    # first trajectory of env 0 contains steps 0,1 values (0, 2)
+    p = np.asarray(padded)[..., 0]
+    cols = [tuple(p[:k, j].tolist()) for j, k in enumerate(m.sum(0)) if k]
+    assert (0.0, 2.0) in cols
+    assert (1.0, 3.0, 5.0, 7.0) in cols
+
+
+def test_eval_metrics_registry():
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+    from rapid_locomotion_rl_tpu.learn.metrics import METRICS_FNS
+    from rapid_locomotion_rl_tpu.models.networks import ACArgs, ActorCritic
+
+    cfg = config_mini_cheetah()
+    cfg.env.num_envs = 4
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.teleport_robots = False
+    env = LeggedRobotEnv(cfg)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    ac = ActorCritic(env.num_obs, env.num_privileged_obs,
+                     env.num_obs_history, env.num_actions, ACArgs())
+    params = ac.init(jax.random.PRNGKey(0), jnp.zeros((1, 42)),
+                     jnp.zeros((1, 18)), jnp.zeros((1, 630)))
+    for name, fn in METRICS_FNS.items():
+        v = fn(env, state, ac, params)
+        assert np.isfinite(float(v)), name
+
+
+def test_dr_eval_presets():
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.learn.dr_eval import DR_SETTINGS
+    cfg = config_mini_cheetah()
+    for name, fn in DR_SETTINGS.items():
+        c = fn(cfg)
+        assert c is not cfg
+    c = DR_SETTINGS["static_high"](cfg)
+    assert c.domain_rand.friction_range == [0.1, 0.1]
+
+
+def test_vec_env_adapter():
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+    from rapid_locomotion_rl_tpu.envs.vec_env import VecEnvAdapter
+
+    cfg = config_mini_cheetah()
+    cfg.env.num_envs = 4
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.teleport_robots = False
+    adapter = VecEnvAdapter(LeggedRobotEnv(cfg))
+    obs = adapter.reset()
+    assert obs["obs"].shape == (4, 42)
+    obs, rew, done, info = adapter.step(np.zeros((4, 12)))
+    assert obs["obs_history"].shape == (4, 630)
+    assert adapter.root_states.shape == (4, 13)
+    assert "time_outs" in info

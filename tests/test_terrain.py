@@ -1,0 +1,84 @@
+"""Terrain generators (NumPy + native C++), Terrain builder, trimesh export."""
+
+import numpy as np
+import pytest
+
+from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+from rapid_locomotion_rl_tpu.envs import terrain as T
+from rapid_locomotion_rl_tpu.envs import terrain_native as TN
+
+
+def _sub(w=80):
+    return T.SubTerrain(w, w, vertical_scale=0.005, horizontal_scale=0.1)
+
+
+def test_random_uniform_range():
+    rng = np.random.RandomState(0)
+    t = T.random_uniform_terrain(_sub(), -0.05, 0.05, rng=rng)
+    h = t.height_field_raw * 0.005
+    assert h.min() >= -0.051 and h.max() <= 0.051
+    assert h.std() > 0.01
+
+
+def test_pyramid_slope_geometry():
+    t = T.pyramid_sloped_terrain(_sub(), slope=0.4, platform_size=3.0)
+    h = t.height_field_raw
+    # apex at the center, zero at the border
+    assert h[40, 40] == h.max()
+    assert h[0, 0] == 0
+    # center platform flat
+    assert h[30:50, 30:50].std() == 0
+    # max height ~ slope * half width
+    np.testing.assert_allclose(h.max() * 0.005, 0.4 * 4.0, rtol=0.15)
+
+
+def test_stairs_monotone():
+    t = T.pyramid_stairs_terrain(_sub(), step_width=0.31, step_height=0.1,
+                                 platform_size=3.0)
+    h = t.height_field_raw
+    assert h[40, 40] == h.max()
+    # step quantization: heights are multiples of 20 (0.1 / 0.005)
+    assert set(np.unique(h) % 20) == {0}
+
+
+def test_stepping_stones_has_pit():
+    rng = np.random.RandomState(0)
+    t = T.stepping_stones_terrain(_sub(), stone_size=0.8, stone_distance=0.1,
+                                  max_height=0.0, platform_size=2.0, rng=rng)
+    h = t.height_field_raw
+    assert h.min() < -1000  # pit at -10m / 0.005
+    assert (h == 0).sum() > 100  # stones + platform
+
+
+def test_terrain_builder_flat_mc():
+    """MC config: proportions select branch 8 with magnitude 0 -> flat."""
+    cfg = config_mini_cheetah()
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.border_size = 5.0
+    t = T.Terrain(cfg.terrain, num_robots=16, seed=0)
+    assert t.height_field_raw.shape == (2 * 80 + 100, 2 * 80 + 100)
+    assert t.height_field_raw.max() == 0
+    origins = cfg.terrain.env_origins
+    assert origins.shape == (2, 2, 3)
+    np.testing.assert_allclose(origins[0, 0], [4.0, 4.0, 0.0])
+
+
+def test_native_matches_semantics():
+    if not TN.available():
+        pytest.skip("native lib unavailable")
+    lib = TN._load()
+    hf = np.zeros((80, 80), np.int16)
+    lib.pyramid_sloped_terrain(hf, 80, 80, 0.4, 3.0, 0.005, 0.1)
+    ref = T.pyramid_sloped_terrain(_sub(), slope=0.4, platform_size=3.0)
+    np.testing.assert_allclose(hf, ref.height_field_raw, atol=1)
+
+
+def test_trimesh_export():
+    hf = np.zeros((50, 50), np.int16)
+    hf[20:30, 20:30] = 100  # 0.5 m plateau
+    v, tri = TN.convert_heightfield_to_trimesh(hf, 0.1, 0.005, 0.75)
+    assert v.shape == (2500, 3)
+    assert tri.shape == (2 * 49 * 49, 3)
+    assert v[:, 2].max() == pytest.approx(0.5)
+    assert tri.max() < 2500
