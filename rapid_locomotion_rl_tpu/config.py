@@ -332,6 +332,8 @@ class SimCfg:
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
     num_substeps: int = 2
+    # batch isomorphic limb chains in the ABA (quadruped fast path)
+    use_limb_batching: bool = True
 
 
 @dataclass

@@ -54,9 +54,11 @@ class BodyFrames(NamedTuple):
 
 
 def _axis_rotmat(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
-    """Rodrigues rotation about a (constant, unit) axis."""
+    """Rodrigues rotation about a (constant, unit) axis; broadcasts over
+    leading batch axes of both arguments."""
     K = S.skew(axis)
-    s, c = jnp.sin(angle), jnp.cos(angle)
+    s = jnp.sin(angle)[..., None, None]
+    c = jnp.cos(angle)[..., None, None]
     return jnp.eye(3) + s * K + (1.0 - c) * (K @ K)
 
 

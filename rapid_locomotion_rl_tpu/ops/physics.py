@@ -42,11 +42,22 @@ def physics_step(
     nsub = max(int(sim_cfg.num_substeps), 1)
     dt = sim_cfg.dt / nsub
 
+    # quadruped fast path: limb-batched FK/ABA (~K-fold fewer tensor ops)
+    layout = None
+    if getattr(sim_cfg, "use_limb_batching", True):
+        from .limb_dynamics import aba_limb, fk_limb, layout_for
+        layout = layout_for(model)
+    if layout is not None:
+        fk_fn = lambda m, s: fk_limb(m, layout, s)          # noqa: E731
+        aba_fn = lambda *a, **k: aba_limb(model, layout, *a[1:], **k)  # noqa: E731
+    else:
+        fk_fn, aba_fn = fk, aba
+
     report = None
     geom_pos0 = None
     terrain_hn = None
     for _ in range(nsub):
-        frames = fk(model, state)
+        frames = fk_fn(model, state)
         geom_pos, geom_vel = geom_world_positions(model, frames)
         if geom_pos0 is None:
             geom_pos0 = geom_pos
@@ -74,9 +85,9 @@ def physics_step(
             + joint_limit_torque(model, state.q, state.qd)
         )
 
-        qdd, a0 = aba(model, state, tau_total, f_ext, gravity,
-                      params.payload, params.com_displacement,
-                      fixed_base=fixed_base)
+        qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
+                         params.payload, params.com_displacement,
+                         fixed_base=fixed_base)
         state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
         # enforce the URDF per-DOF velocity limit, as IsaacGym does with
         # dof_props 'velocity' (legged_robot.py:509) — without this, free
