@@ -80,6 +80,19 @@ class _Packed(NamedTuple):
     jidx: np.ndarray         # [D,K] joint index (static)
 
 
+def _np_spatial_inertia(mass: float, com: np.ndarray,
+                        inertia: np.ndarray) -> np.ndarray:
+    c = np.array([[0, -com[2], com[1]],
+                  [com[2], 0, -com[0]],
+                  [-com[1], com[0], 0]])
+    out = np.zeros((6, 6))
+    out[:3, :3] = inertia + mass * (c @ c.T)
+    out[:3, 3:] = mass * c
+    out[3:, :3] = mass * c.T
+    out[3:, 3:] = mass * np.eye(3)
+    return out
+
+
 def _pack(model, layout: LimbLayout) -> _Packed:
     j = layout.joint_index
     f32 = jnp.float32
@@ -87,10 +100,9 @@ def _pack(model, layout: LimbLayout) -> _Packed:
     for d in range(layout.D):
         for k in range(layout.K):
             b = int(layout.body_index[d, k])
-            I6[d, k] = np.asarray(S.spatial_inertia(
-                jnp.asarray(model.mass[b], f32),
-                jnp.asarray(model.com[b], f32),
-                jnp.asarray(model.inertia[b], f32)))
+            I6[d, k] = _np_spatial_inertia(
+                float(model.mass[b]), np.asarray(model.com[b]),
+                np.asarray(model.inertia[b]))
     return _Packed(
         E_tree=jnp.asarray(model.E_tree[j], f32),
         p_tree=jnp.asarray(model.p_tree[j], f32),
