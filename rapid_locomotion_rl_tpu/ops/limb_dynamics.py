@@ -114,15 +114,11 @@ def _pack(model, layout: LimbLayout) -> _Packed:
     )
 
 
-_LAYOUT_CACHE: dict = {}
-
-
 def layout_for(model) -> Optional[LimbLayout]:
-    """Cached (host-side, trace-safe) limb layout of a model."""
-    key = id(model)
-    if key not in _LAYOUT_CACHE:
-        _LAYOUT_CACHE[key] = detect_limbs(model)
-    return _LAYOUT_CACHE[key]
+    """Host-side, trace-safe limb layout of a model. Deliberately uncached:
+    an id()-keyed cache collides when model objects are collected, and
+    detection is cheap trace-time-only work."""
+    return detect_limbs(model)
 
 
 def fk_limb(model, layout: LimbLayout, state: SimState) -> BodyFrames:
