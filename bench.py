@@ -36,11 +36,14 @@ def main():
     ppo_state = init_ppo_state(k1, ac, ppo_args, env.num_obs,
                                env.num_privileged_obs, env.num_obs_history)
     env_state = env.initial_state(k2)
-    train_it = jax.jit(make_train_iteration(env, ac, ppo_args,
-                                            steps_per_env))
+    train_it = make_train_iteration(env, ac, ppo_args, steps_per_env,
+                                    split=True)
 
-    # warmup/compile
-    env_state, ppo_state, metrics = train_it(env_state, ppo_state, k3)
+    # warmup/compile: two iterations, so any signature change after the
+    # first call (weak-type promotion) has also been compiled
+    for _ in range(2):
+        k3, k = jax.random.split(k3)
+        env_state, ppo_state, metrics = train_it(env_state, ppo_state, k)
     jax.block_until_ready(metrics["kl"])
 
     n_iter = 5

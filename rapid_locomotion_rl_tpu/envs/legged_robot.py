@@ -378,7 +378,12 @@ class LeggedRobotEnv:
         )
         # fill obs/privileged obs for step 0
         obs, priv = self._observe(state, keys[6])
-        return state._replace(obs=obs, privileged_obs=priv)
+        state = state._replace(obs=obs, privileged_obs=priv)
+        # strip weak types so the first jitted step has the same input
+        # signature as every later one (avoids a full recompile at iter 1)
+        return jax.tree.map(
+            lambda x: jnp.asarray(x, x.dtype) if hasattr(x, "dtype") else x,
+            state)
 
     # ------------------------------------------------------------------
     def _reset_sim_states(self, mask, sim: Optional[SimState],

@@ -90,6 +90,13 @@ def make_optimizers(ppo_args: PPOArgs):
     return tx, adapt_tx
 
 
+def canonicalize(tree):
+    """Strip weak types so jit signatures are stable from the first call
+    (weak->strong promotion after one update would force a recompile)."""
+    return jax.tree.map(lambda x: jnp.asarray(x, x.dtype)
+                        if hasattr(x, "dtype") else x, tree)
+
+
 def init_ppo_state(key, ac: ActorCritic, ppo_args: PPOArgs,
                    num_obs, num_priv, num_hist) -> PPOState:
     obs = jnp.zeros((1, num_obs))
@@ -97,11 +104,11 @@ def init_ppo_state(key, ac: ActorCritic, ppo_args: PPOArgs,
     hist = jnp.zeros((1, num_hist))
     params = ac.init(key, obs, priv, hist)
     tx, adapt_tx = make_optimizers(ppo_args)
-    return PPOState(
+    return canonicalize(PPOState(
         params=params,
         opt_state=tx.init(params),
         adapt_opt_state=adapt_tx.init(params),
-        lr=jnp.asarray(ppo_args.learning_rate, jnp.float32))
+        lr=jnp.asarray(ppo_args.learning_rate, jnp.float32)))
 
 
 # ---------------------------------------------------------------------------
@@ -308,40 +315,82 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
 
 
 # ---------------------------------------------------------------------------
-def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
+def _aggregate_rollout_metrics(traj: Transition, infos):
+    """Episode-sum accumulators add over the T axis; gauges take the last."""
+    rollout_metrics = {}
+    for k, v in infos.items():
+        if "/sum" in k or k.endswith("_count"):
+            rollout_metrics[k] = jnp.sum(v, axis=0)
+        else:
+            rollout_metrics[k] = v[-1]
+    rollout_metrics["mean_reward"] = jnp.mean(traj.rewards)
+    rollout_metrics["mean_episode_dones"] = jnp.mean(
+        traj.dones.astype(jnp.float32))
+    return rollout_metrics
+
+
+def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
                          num_steps_per_env: int, eval_expert: bool = False,
                          grad_sync=None):
-    """One full training iteration: rollout + GAE + update
-    (the per-iteration block of Runner.learn, ppo/__init__.py:123-203),
-    fused for jit."""
+    """The two halves of a training iteration as separate functions:
+    (rollout+GAE, update). Used directly by the split pipeline and composed
+    by :func:`make_train_iteration`."""
 
-    def train_iteration(env_state, ppo_state: PPOState, key):
-        k_roll, k_update = jax.random.split(key)
+    def rollout_gae(env_state, params, key):
         env_state, traj, infos = rollout(
-            env, ac, ppo_args, ppo_state.params, env_state, k_roll,
+            env, ac, ppo_args, params, env_state, key,
             num_steps_per_env, eval_expert)
-
-        last_values = ac.apply(ppo_state.params, env_state.obs,
+        last_values = ac.apply(params, env_state.obs,
                                env_state.privileged_obs,
                                method=ActorCritic.evaluate)
         advantages, returns = compute_gae(
             traj, last_values, ppo_args.gamma, ppo_args.lam)
+        return (env_state, traj, advantages, returns,
+                _aggregate_rollout_metrics(traj, infos))
 
-        ppo_state, update_metrics = ppo_update(
-            ac, ppo_args, ppo_state, traj, advantages, returns, k_update,
-            env.num_train_envs, grad_sync=grad_sync)
+    def update(ppo_state: PPOState, traj, advantages, returns, key):
+        return ppo_update(ac, ppo_args, ppo_state, traj, advantages,
+                          returns, key, env.num_train_envs,
+                          grad_sync=grad_sync)
 
-        # aggregate rollout episode metrics over the T axis: episode-sum
-        # accumulators add up; instantaneous gauges take the last step
-        rollout_metrics = {}
-        for k, v in infos.items():
-            if "/sum" in k or k.endswith("_count"):
-                rollout_metrics[k] = jnp.sum(v, axis=0)
-            else:
-                rollout_metrics[k] = v[-1]
-        rollout_metrics["mean_reward"] = jnp.mean(traj.rewards)
-        rollout_metrics["mean_episode_dones"] = jnp.mean(
-            traj.dones.astype(jnp.float32))
+    return rollout_gae, update
+
+
+def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
+                         num_steps_per_env: int, eval_expert: bool = False,
+                         grad_sync=None, split: bool = False):
+    """One full training iteration: rollout + GAE + update
+    (the per-iteration block of Runner.learn, ppo/__init__.py:123-203).
+
+    split=False fuses everything into one jittable function (jit it
+    yourself). split=True returns a host-side composition of two separately
+    jitted halves — all data stays device-resident, but each compilation
+    unit is smaller (the monolithic program occasionally compiles to a
+    poorly scheduled executable on some toolchains)."""
+    rollout_gae, update = make_train_functions(
+        env, ac, ppo_args, num_steps_per_env, eval_expert, grad_sync)
+
+    if split:
+        rollout_gae_j = jax.jit(rollout_gae)
+        update_j = jax.jit(update)
+
+        def train_iteration_split(env_state, ppo_state: PPOState, key):
+            k_roll, k_update = jax.random.split(key)
+            env_state, traj, adv, ret, rollout_metrics = rollout_gae_j(
+                env_state, ppo_state.params, k_roll)
+            ppo_state, update_metrics = update_j(
+                ppo_state, traj, adv, ret, k_update)
+            return env_state, ppo_state, {**rollout_metrics,
+                                          **update_metrics}
+
+        return train_iteration_split
+
+    def train_iteration(env_state, ppo_state: PPOState, key):
+        k_roll, k_update = jax.random.split(key)
+        env_state, traj, adv, ret, rollout_metrics = rollout_gae(
+            env_state, ppo_state.params, k_roll)
+        ppo_state, update_metrics = update(ppo_state, traj, adv, ret,
+                                           k_update)
         return env_state, ppo_state, {**rollout_metrics, **update_metrics}
 
     return train_iteration

@@ -67,9 +67,10 @@ class Runner:
             env.num_privileged_obs, env.num_obs_history)
         self.env_state = env.initial_state(k_env)
 
-        self._train_iter = jax.jit(make_train_iteration(
+        # split pipeline: two jitted halves, device-resident in between
+        self._train_iter = make_train_iteration(
             env, self.ac, self.ppo_args, self.args.num_steps_per_env,
-            eval_expert=eval_expert, grad_sync=grad_sync))
+            eval_expert=eval_expert, grad_sync=grad_sync, split=True)
         self._reset_eval = jax.jit(
             lambda s: env.reset_envs(
                 s, jnp.arange(env.num_envs) >= env.num_train_envs))

@@ -81,8 +81,11 @@ class ActorCritic(nn.Module):
         self.actor_body = MLP(a.actor_hidden_dims, self.num_actions,
                               a.activation)
         self.critic_body = MLP(a.critic_hidden_dims, 1, a.activation)
+        # explicit dtype: a weak-typed std changes the jit input signature
+        # after the first update and forces a full recompile
         self.std = self.param(
-            "std", lambda key, shape: jnp.full(shape, a.init_noise_std),
+            "std", lambda key, shape: jnp.full(shape, a.init_noise_std,
+                                               dtype=jnp.float32),
             (self.num_actions,))
 
     # -- latent paths ----------------------------------------------------
