@@ -85,6 +85,18 @@ class Runner:
             "AC_Args": dataclasses.asdict(self.ac_args),
             "RunnerArgs": dataclasses.asdict(self.args),
         })
+        # dashboard spec (train.py:43-51 .charts.yml parity)
+        with open(f"{self.logger.logdir}/.charts.yml", "w") as f:
+            f.write(
+                "charts:\n"
+                "- yKey: train/episode/rew_total/mean\n"
+                "  xKey: iterations\n"
+                "- yKey: train/episode/rew_tracking_lin_vel/mean\n"
+                "  xKey: iterations\n"
+                "- yKey: train/episode/command_area/mean\n"
+                "  xKey: iterations\n"
+                "- type: video\n"
+                "  glob: videos/*.gif\n")
 
     # ------------------------------------------------------------------
     def learn(self, num_learning_iterations: int,

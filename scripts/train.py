@@ -43,7 +43,8 @@ def main():
 
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, logdir=args.logdir, seed=args.seed,
-                    runner_args=RunnerArgs(max_iterations=args.iterations))
+                    runner_args=RunnerArgs(max_iterations=args.iterations,
+                                           save_video_interval=400))
     if args.resume:
         runner.load_checkpoint(args.resume)
     print(f"training {args.robot} x{cfg.env.num_envs} envs "
