@@ -334,6 +334,11 @@ class SimCfg:
     num_substeps: int = 2
     # batch isomorphic limb chains in the ABA (quadruped fast path)
     use_limb_batching: bool = True
+    # physics implementation: "soa" (structure-of-arrays, fully elementwise
+    # — ~1.8x faster on TPU, see ops/soa_physics.py; requires a limb-
+    # decomposable tree, auto-falls back otherwise) or "aos" (vmapped
+    # array-of-structures, fully general)
+    physics_impl: str = "soa"
 
 
 @dataclass

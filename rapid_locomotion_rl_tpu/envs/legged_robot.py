@@ -234,10 +234,21 @@ class LeggedRobotEnv:
         self.ang_vel_threshold = (cfg.commands.yaw_curriculum_threshold
                                   * self.reward_scales.get("tracking_ang_vel", 0.0))
 
-        # batched physics step
-        self._phys = jax.vmap(functools.partial(
-            physics_step, self.model, cfg.sim,
-            terrain=self.terrain_grid, fixed_base=cfg.asset.fix_base_link))
+        # batched physics step: direct-batched SoA (fast path) or vmapped AoS
+        from ..ops.limb_dynamics import layout_for
+        use_soa = (getattr(cfg.sim, "physics_impl", "soa") == "soa"
+                   and layout_for(self.model) is not None)
+        if use_soa:
+            from ..ops.soa_physics import physics_step_soa
+            self._phys = functools.partial(
+                physics_step_soa, self.model, cfg.sim,
+                terrain=self.terrain_grid,
+                fixed_base=cfg.asset.fix_base_link)
+        else:
+            self._phys = jax.vmap(functools.partial(
+                physics_step, self.model, cfg.sim,
+                terrain=self.terrain_grid,
+                fixed_base=cfg.asset.fix_base_link))
 
     # ------------------------------------------------------------------
     def _make_noise_vec(self) -> np.ndarray:
