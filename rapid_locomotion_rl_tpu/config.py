@@ -325,9 +325,19 @@ class SimCfg:
     up_axis: int = 1  # 0 = y, 1 = z
     # contact model parameters (TPU-native replacement for the physx block);
     # solved implicitly per sphere against its body mass — see ops/contact.py
-    contact_stiffness: float = 30000.0  # penalty spring [N/m]
-    contact_damping: float = 200.0      # penalty damper [N*s/m]
-    friction_vel_eps: float = 0.1       # regularized Coulomb transition [m/s]
+    contact_stiffness: float = 30000.0  # penalty spring [N/m] (legacy model)
+    contact_damping: float = 200.0      # penalty damper [N*s/m] (legacy model)
+    friction_vel_eps: float = 0.1       # regularized Coulomb [m/s] (legacy)
+    # "apparent": TGS-style velocity-level constraint solve against the
+    # articulated point inertia with free-acceleration bias (round-2;
+    # PhysX-grade stance force transfer). "legacy": round-1 penalty +
+    # per-body m_eff heuristic (kept for A/B).
+    contact_model: str = "apparent"
+    # constraint-solver knobs (reference physx block,
+    # legged_robot_config.py:245-256)
+    erp: float = 0.2                            # depenetration bias factor
+    max_depenetration_velocity: float = 1.0     # [m/s]
+    bounce_threshold_velocity: float = 0.5      # [m/s]
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
@@ -338,7 +348,11 @@ class SimCfg:
     # — ~1.8x faster on TPU, see ops/soa_physics.py; requires a limb-
     # decomposable tree, auto-falls back otherwise) or "aos" (vmapped
     # array-of-structures, fully general)
-    physics_impl: str = "soa"
+    # "auto" = SoA on TPU (fast path), AoS vmap on CPU: the SoA graph's
+    # thousands of scalar [N] ops take minutes to compile under LLVM but
+    # seconds under XLA:TPU; numerics match within float tolerance
+    # (tests/test_soa_physics.py)
+    physics_impl: str = "auto"  # auto | soa | aos
 
 
 @dataclass

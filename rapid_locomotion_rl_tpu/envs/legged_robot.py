@@ -236,8 +236,12 @@ class LeggedRobotEnv:
 
         # batched physics step: direct-batched SoA (fast path) or vmapped AoS
         from ..ops.limb_dynamics import layout_for
-        use_soa = (getattr(cfg.sim, "physics_impl", "soa") == "soa"
-                   and layout_for(self.model) is not None)
+        impl = getattr(cfg.sim, "physics_impl", "auto")
+        if impl == "auto":
+            impl = "soa" if jax.default_backend() != "cpu" else "aos"
+        if getattr(cfg.sim, "contact_model", "apparent") == "apparent":
+            impl = "aos"   # SoA port of the apparent-inertia solver pending
+        use_soa = impl == "soa" and layout_for(self.model) is not None
         if use_soa:
             from ..ops.soa_physics import physics_step_soa
             self._phys = functools.partial(
@@ -443,10 +447,11 @@ class LeggedRobotEnv:
             qd=jnp.where(m[:, None], new.qd, sim.qd))
 
     # ------------------------------------------------------------------
-    def _compute_torques(self, actions, sim: SimState, dr: DRState
+    def _compute_torques(self, actions, sim: SimState, dr: DRState,
+                         last_dof_vel=None
                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """PD torque controller (reference `_compute_torques`,
-        legged_robot.py:653-688, control_type 'P')."""
+        legged_robot.py:653-688; control types 'P', 'V', 'T')."""
         cfg = self.cfg
         scaled = actions[:, : self.num_dof] * cfg.control.action_scale
         scaled = scaled * (1.0 + (cfg.control.hip_scale_reduction - 1.0)
@@ -456,6 +461,15 @@ class LeggedRobotEnv:
             target = scaled + self.default_dof_pos
             tau = (self.p_gains * dr.Kp_factors * (target - sim.q)
                    - self.d_gains * dr.Kd_factors * sim.qd)
+        elif ct == "V":
+            # velocity PD (legged_robot.py:671-673); the derivative term
+            # differentiates dof_vel against the last control step's value
+            target = sim.q
+            if last_dof_vel is None:
+                last_dof_vel = sim.qd
+            tau = (self.p_gains * (scaled - sim.qd)
+                   - self.d_gains * (sim.qd - last_dof_vel)
+                   / self.cfg.sim.dt)
         elif ct == "T":
             target = sim.q
             tau = scaled
@@ -581,10 +595,21 @@ class LeggedRobotEnv:
         torques = state.torques
         target = state.joint_pos_target
         report = state.contact_report
-        for _ in range(cfg.control.decimation):
-            torques, target = self._compute_torques(actions, sim, state.dr)
+
+        def decim_body(carry, _):
+            sim, torques, target, report = carry
+            torques, target = self._compute_torques(
+                actions, sim, state.dr, last_dof_vel=state.last_dof_vel)
             out = self._phys(sim, torques, phys_params)
-            sim, report = out.state, out.contact_report
+            return (out.state, torques, target, out.contact_report), None
+
+        # unrolled on TPU (marginally better fusion); a real loop on CPU,
+        # where LLVM compile time of the unrolled physics graph is minutes
+        decim = cfg.control.decimation
+        unroll = decim if jax.default_backend() != "cpu" else 1
+        (sim, torques, target, report), _ = jax.lax.scan(
+            decim_body, (sim, torques, target, report), None,
+            length=decim, unroll=unroll)
 
         episode_length = state.episode_length + 1
         common_step = state.common_step_counter + 1

@@ -204,7 +204,28 @@ class Terrain:
                     t = self.make_terrain(cfg, choice, difficulty)
                     self.add_terrain_to_map(cfg, t, i, j)
         elif cfg.selected:
-            raise NotImplementedError("selected terrain_kwargs path")
+            # single chosen generator for every sub-terrain (reference
+            # selected_terrain, terrain.py:104-117 — eval(type)(**kwargs);
+            # here a registry lookup instead of eval)
+            kwargs = dict(cfg.terrain_kwargs or {})
+            name = kwargs.pop("type")
+            gen = {
+                "random_uniform_terrain": random_uniform_terrain,
+                "pyramid_sloped_terrain": pyramid_sloped_terrain,
+                "pyramid_stairs_terrain": pyramid_stairs_terrain,
+                "discrete_obstacles_terrain": discrete_obstacles_terrain,
+                "stepping_stones_terrain": stepping_stones_terrain,
+            }[name.split(".")[-1]]
+            import inspect
+            if "rng" in inspect.signature(gen).parameters:
+                kwargs.setdefault("rng", self.rng)
+            for k in range(cfg.num_sub_terrains):
+                i, j = np.unravel_index(k, (cfg.num_rows, cfg.num_cols))
+                t = SubTerrain(cfg.width_per_env_pixels,
+                               cfg.width_per_env_pixels,
+                               cfg.vertical_scale, cfg.horizontal_scale)
+                gen(t, **kwargs)
+                self.add_terrain_to_map(cfg, t, i, j)
         else:
             for k in range(cfg.num_sub_terrains):
                 i, j = np.unravel_index(k, (cfg.num_rows, cfg.num_cols))

@@ -101,7 +101,8 @@ def geom_world_positions(model, frames: BodyFrames) -> Tuple[jnp.ndarray, jnp.nd
 def aba(model, state: SimState, tau: jnp.ndarray,
         f_ext_body: Optional[jnp.ndarray], gravity: jnp.ndarray,
         payload: jnp.ndarray, com_offset: jnp.ndarray,
-        fixed_base: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        fixed_base: bool = False,
+        return_body_accels: bool = False):
     """Articulated-Body Algorithm: forward dynamics of the tree.
 
     Args:
@@ -208,7 +209,142 @@ def aba(model, state: SimState, tau: jnp.ndarray,
         a.append(ap + Ss[i] * qddi)
 
     a0_true = a0_rel + a_grav
+    if return_body_accels:
+        # true spatial accel of every body in its own coords: the forward
+        # sweep runs in the gravity-accelerating frame, and a pure linear
+        # acceleration field transforms with rotation only
+        R_list = _body_rotations(model, state)
+        a_true = [a[i] + jnp.concatenate(
+            (jnp.zeros(3, f32), R_list[i].T @ gravity)) for i in range(nb)]
+        return jnp.stack(qdd), a0_true, jnp.stack(a_true)
     return jnp.stack(qdd), a0_true
+
+
+def _body_rotations(model, state: SimState):
+    """World rotations of every body (the rotation part of fk)."""
+    R0 = Q.quat_to_rotmat(state.base_quat)
+    Rs = [R0]
+    for i in range(1, model.nb):
+        j = i - 1
+        E_tree = jnp.asarray(model.E_tree[j], jnp.float32)
+        axis = jnp.asarray(model.axis[j], jnp.float32)
+        Rs.append(Rs[int(model.parent[i])]
+                  @ (E_tree @ _axis_rotmat(axis, state.q[j])))
+    return Rs
+
+
+def point_accels(model, frames: BodyFrames, a_body: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """Classical world-frame acceleration of every collision-sphere center,
+    given the true per-body spatial accelerations from :func:`aba`
+    (``return_body_accels=True``). Used as the contact solver's free
+    acceleration: v_pred = v + dt * a_pt."""
+    gb = model.geom_body
+    off = jnp.asarray(model.geom_offset, jnp.float32)      # [ng,3]
+    Rg = frames.R[gb]                                      # [ng,3,3]
+    wdot_w = jnp.einsum("gij,gj->gi", Rg, a_body[gb, :3])
+    a_org_w = (jnp.einsum("gij,gj->gi", Rg, a_body[gb, 3:])
+               + jnp.cross(frames.w[gb], frames.v[gb]))
+    r = jnp.einsum("gij,gj->gi", Rg, off)                  # world arm
+    return (a_org_w + jnp.cross(wdot_w, r)
+            + jnp.cross(frames.w[gb], jnp.cross(frames.w[gb], r)))
+
+
+def inv_psd6(A: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a symmetric positive-definite 6x6 via the same unrolled
+    Cholesky as :func:`spatial.solve_psd6` (elementwise over batch axes)."""
+    cols = [S.solve_psd6(A, jnp.broadcast_to(
+        jnp.eye(6, dtype=A.dtype)[k], A.shape[:-2] + (6,)))
+        for k in range(6)]
+    return jnp.stack(cols, axis=-1)
+
+
+def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
+                        payload: jnp.ndarray, com_offset: jnp.ndarray,
+                        fixed_base: bool = False,
+                        base_split: float = 4.0) -> jnp.ndarray:
+    """Per-geom 3x3 inverse apparent inertia (the diagonal of the Delassus
+    operator) at every collision sphere, in world coordinates.
+
+    This is Featherstone's operational-space-inertia recursion: the ABA
+    backward sweep condenses the subtree articulated inertias IA_i, then the
+    inverse inertia propagates root->leaf:
+
+        Phi_0 = IA_0^-1
+        Phi_i = S d^-1 S^T + P (X Phi_p X^T) P^T,   P = 1 - S d^-1 U^T
+
+    and the world-point projection at a geom with body-frame offset r is
+    Lam^-1 = R [ -r^ | 1 ] Phi [ -r^ | 1 ]^T R^T.
+
+    This replaces the round-1 heuristic "m_eff = body mass" (a 64 g calf),
+    which under-reported the force the articulated chain can bear along an
+    extended stance leg by ~50x and capped tangential force transfer (the
+    measured cause of the command-tracking gap, scripts/diag_contact.py).
+
+    ``base_split`` mass-splits the BASE inverse-inertia contribution by the
+    number of legs that can push the trunk simultaneously — the standard
+    Jacobi stabilization for decoupled per-contact solves.
+    """
+    nb = model.nb
+    f32 = jnp.float32
+
+    base_mass = jnp.asarray(model.mass[0], f32) + payload
+    base_com = com_offset + jnp.asarray(model.com[0], f32)
+    base_inertia = jnp.asarray(model.inertia[0], f32) * (
+        base_mass / jnp.asarray(model.mass[0], f32))
+    I_body = [S.spatial_inertia(base_mass, base_com, base_inertia)]
+    for i in range(1, nb):
+        I_body.append(S.spatial_inertia(
+            jnp.asarray(model.mass[i], f32),
+            jnp.asarray(model.com[i], f32),
+            jnp.asarray(model.inertia[i], f32)))
+
+    # backward articulated-inertia sweep (force-independent half of ABA)
+    IA = list(I_body)
+    Xs = [None] * nb
+    Ss = [None] * nb
+    Us = [None] * nb
+    ds = [None] * nb
+    for i in range(nb - 1, 0, -1):
+        j = i - 1
+        E_tree = jnp.asarray(model.E_tree[j], f32)
+        p_tree = jnp.asarray(model.p_tree[j], f32)
+        axis = jnp.asarray(model.axis[j], f32)
+        E = (E_tree @ _axis_rotmat(axis, state.q[j])).T
+        Si = jnp.concatenate((axis, jnp.zeros(3, f32)))
+        U = IA[i] @ Si
+        d = jnp.maximum(Si @ U + jnp.asarray(model.dof_armature[j], f32),
+                        1e-9)
+        par = int(model.parent[i])
+        Ia = IA[i] - jnp.outer(U, U) / d
+        X = S.xmat_motion(E, p_tree)
+        IA[par] = IA[par] + X.T @ Ia @ X
+        Xs[i], Ss[i], Us[i], ds[i] = X, Si, U, d
+
+    # forward inverse-inertia propagation
+    Phi = [None] * nb
+    if fixed_base:
+        Phi[0] = jnp.zeros((6, 6), f32)
+    else:
+        Phi[0] = base_split * inv_psd6(IA[0])
+    for i in range(1, nb):
+        par = int(model.parent[i])
+        M = Xs[i] @ Phi[par] @ Xs[i].T
+        P = jnp.eye(6, dtype=f32) - jnp.outer(Ss[i], Us[i]) / ds[i]
+        Phi[i] = (jnp.outer(Ss[i], Ss[i]) / ds[i] + P @ M @ P.T)
+
+    # project to world-frame point inverse inertia per geom
+    if model.ng == 0:
+        return jnp.zeros((0, 3, 3), f32)
+    lam_inv = []
+    for g in range(model.ng):
+        b = int(model.geom_body[g])
+        r = jnp.asarray(model.geom_offset[g], f32)
+        G = jnp.concatenate((-S.skew(r), jnp.eye(3, dtype=f32)), axis=-1)
+        L_body = G @ Phi[b] @ G.T
+        R = frames.R[b]
+        lam_inv.append(R @ L_body @ R.T)
+    return jnp.stack(lam_inv)         # [ng,3,3]
 
 
 class PhysParams(NamedTuple):

@@ -14,10 +14,11 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .contact import (TerrainGrid, contact_forces, sample_terrain,
-                      spatial_forces_on_bodies)
-from .dynamics import (PhysParams, SimState, aba, fk, geom_world_positions,
-                       integrate, joint_limit_torque)
+from .contact import (TerrainGrid, contact_forces, contact_forces_implicit,
+                      sample_terrain, spatial_forces_on_bodies)
+from .dynamics import (PhysParams, SimState, aba, contact_inv_inertia, fk,
+                       geom_world_positions, integrate, joint_limit_torque,
+                       point_accels)
 
 
 class StepOutput(NamedTuple):
@@ -42,9 +43,12 @@ def physics_step(
     nsub = max(int(sim_cfg.num_substeps), 1)
     dt = sim_cfg.dt / nsub
 
+    contact_model = getattr(sim_cfg, "contact_model", "apparent")
+
     # quadruped fast path: limb-batched FK/ABA (~K-fold fewer tensor ops)
     layout = None
-    if getattr(sim_cfg, "use_limb_batching", True):
+    if getattr(sim_cfg, "use_limb_batching", True) \
+            and contact_model != "apparent":
         from .limb_dynamics import aba_limb, fk_limb, layout_for
         layout = layout_for(model)
     if layout is not None:
@@ -53,9 +57,11 @@ def physics_step(
     else:
         fk_fn, aba_fn = fk, aba
 
+    terrain_mu = terrain.static_friction if terrain is not None else 1.0
     report = None
     geom_pos0 = None
     terrain_hn = None
+    lam_inv = None
     for _ in range(nsub):
         frames = fk_fn(model, state)
         geom_pos, geom_vel = geom_world_positions(model, frames)
@@ -65,18 +71,6 @@ def physics_step(
             # normal once per 5 ms control substep (xy drift ≪ grid cell)
             terrain_hn = sample_terrain(model, terrain, geom_pos)
 
-        forces, report = contact_forces(
-            model, geom_pos, geom_vel,
-            params.friction, params.restitution, terrain_hn,
-            stiffness=sim_cfg.contact_stiffness,
-            damping=sim_cfg.contact_damping,
-            friction_vel_eps=sim_cfg.friction_vel_eps,
-            dt=dt,
-            terrain_friction=(terrain.static_friction
-                              if terrain is not None else 1.0),
-        )
-        f_ext = spatial_forces_on_bodies(model, frames, geom_pos, forces)
-
         # passive joint terms: viscous damping, limit springs
         tau_total = (
             tau
@@ -84,6 +78,36 @@ def physics_step(
             - sim_cfg.joint_friction * jnp.tanh(state.qd / 0.1)
             + joint_limit_torque(model, state.q, state.qd)
         )
+
+        if contact_model == "apparent":
+            # round-2 solver: free dynamics -> implicit contact against the
+            # true articulated point response -> final dynamics
+            if lam_inv is None:   # q drifts ~nothing within one control step
+                lam_inv = contact_inv_inertia(
+                    model, state, frames, params.payload,
+                    params.com_displacement, fixed_base=fixed_base)
+            qdd_f, a0_f, a_body = aba(
+                model, state, tau_total, None, gravity,
+                params.payload, params.com_displacement,
+                fixed_base=fixed_base, return_body_accels=True)
+            a_pt = point_accels(model, frames, a_body)
+            forces, report = contact_forces_implicit(
+                model, geom_pos, geom_vel, a_pt, lam_inv,
+                params.friction, params.restitution, terrain_hn,
+                erp=sim_cfg.erp,
+                max_depenetration_velocity=sim_cfg.max_depenetration_velocity,
+                bounce_threshold_velocity=sim_cfg.bounce_threshold_velocity,
+                friction_vel_eps=sim_cfg.friction_vel_eps,
+                dt=dt, terrain_friction=terrain_mu)
+        else:
+            forces, report = contact_forces(
+                model, geom_pos, geom_vel,
+                params.friction, params.restitution, terrain_hn,
+                stiffness=sim_cfg.contact_stiffness,
+                damping=sim_cfg.contact_damping,
+                friction_vel_eps=sim_cfg.friction_vel_eps,
+                dt=dt, terrain_friction=terrain_mu)
+        f_ext = spatial_forces_on_bodies(model, frames, geom_pos, forces)
 
         qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
                          params.payload, params.com_displacement,

@@ -104,6 +104,25 @@ def m3_skew(v):
     return ((z, -v[2], v[1]), (v[2], z, -v[0]), (-v[1], v[0], z))
 
 
+def m3_solve(M, b):
+    """Cofactor solve of a 3x3 (tuple form) against v3 — elementwise."""
+    (a00, a01, a02), (a10, a11, a12), (a20, a21, a22) = M
+    c00 = a11 * a22 - a12 * a21
+    c01 = a12 * a20 - a10 * a22
+    c02 = a10 * a21 - a11 * a20
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    c10 = a02 * a21 - a01 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a01 * a20 - a00 * a21
+    c20 = a01 * a12 - a02 * a11
+    c21 = a02 * a10 - a00 * a12
+    c22 = a00 * a11 - a01 * a10
+    inv_det = 1.0 / det
+    return ((c00 * b[0] + c10 * b[1] + c20 * b[2]) * inv_det,
+            (c01 * b[0] + c11 * b[1] + c21 * b[2]) * inv_det,
+            (c02 * b[0] + c12 * b[1] + c22 * b[2]) * inv_det)
+
+
 def m3_from_array(arr):
     """Constant numpy 3x3 -> m3 of python floats (broadcast later)."""
     return tuple(tuple(float(arr[i, j]) for j in range(3)) for i in range(3))
@@ -275,9 +294,9 @@ def xform_inertia_to_parent(E, r, M):
     return ((Z00, Z01), (Z10, Z11))
 
 
-def solve_psd6(M, b):
-    """Unrolled Cholesky solve for the 2x2-block 6x6 SPD matrix."""
-    # flatten blocks to a 6x6 list-of-lists of scalars
+def chol6(M):
+    """Unrolled Cholesky factor of a 2x2-block 6x6 SPD matrix; returns the
+    lower triangle as a 6x6 list-of-lists of scalars."""
     A = [[None] * 6 for _ in range(6)]
     for bi in range(2):
         for bj in range(2):
@@ -285,7 +304,6 @@ def solve_psd6(M, b):
             for i in range(3):
                 for j in range(3):
                     A[bi * 3 + i][bj * 3 + j] = blk[i][j]
-    rhs = [b[0][0], b[0][1], b[0][2], b[1][0], b[1][1], b[1][2]]
     n = 6
     L = [[None] * n for _ in range(n)]
     for j in range(n):
@@ -299,6 +317,11 @@ def solve_psd6(M, b):
             for k in range(j):
                 s = s - L[i][k] * L[j][k]
             L[i][j] = s * inv_d
+    return L
+
+
+def _chol6_solve(L, rhs):
+    n = 6
     y = [None] * n
     for i in range(n):
         s = rhs[i]
@@ -311,4 +334,45 @@ def solve_psd6(M, b):
         for k in range(i + 1, n):
             s = s - L[k][i] * x[k]
         x[i] = s / L[i][i]
+    return x
+
+
+def solve_psd6(M, b):
+    """Unrolled Cholesky solve for the 2x2-block 6x6 SPD matrix."""
+    L = chol6(M)
+    x = _chol6_solve(L, [b[0][0], b[0][1], b[0][2], b[1][0], b[1][1], b[1][2]])
     return ((x[0], x[1], x[2]), (x[3], x[4], x[5]))
+
+
+def inv_psd6(M):
+    """Inverse of the 2x2-block 6x6 SPD matrix (block form out)."""
+    L = chol6(M)
+    one = M[0][0][0][0] * 0.0 + 1.0
+    zero = M[0][0][0][0] * 0.0
+    cols = []
+    for k in range(6):
+        rhs = [one if i == k else zero for i in range(6)]
+        cols.append(_chol6_solve(L, rhs))
+    # cols[k][i] = (M^-1)[i,k]
+    blk = lambda bi, bj: tuple(tuple(cols[bj * 3 + j][bi * 3 + i]  # noqa: E731
+                                     for j in range(3)) for i in range(3))
+    return ((blk(0, 0), blk(0, 1)), (blk(1, 0), blk(1, 1)))
+
+
+def xform_phi_to_child(E, r, Phi):
+    """X Phi Xᵀ for the motion transform X(E, r) = [[E, 0], [-E rx, E]]:
+    transform an INVERSE inertia (force->motion) from parent to child
+    coords (the dual direction of :func:`xform_inertia_to_parent`)."""
+    (A, B), (C, D) = Phi
+    Et = m3_t(E)
+    Sm = m3_scale(m3_skew(r), -1.0)      # -rx
+    St = m3_t(Sm)
+    # block rows of X Phi: [E A, E B] ; [E(Sm A + C), E(Sm B + D)]
+    # then right-multiply by Xᵀ = [[Eᵀ, (E Sm)ᵀ], [0, Eᵀ]]
+    SmA = m3_mul(Sm, A)
+    Z00 = m3_mul(m3_mul(E, A), Et)
+    Z01 = m3_mul(m3_mul(E, m3_add(m3_mul(A, St), B)), Et)
+    Z10 = m3_mul(m3_mul(E, m3_add(SmA, C)), Et)
+    Z11 = m3_mul(m3_mul(E, m3_add(m3_add(m3_mul(m3_add(SmA, C), St),
+                                         m3_mul(Sm, B)), D)), Et)
+    return ((Z00, Z01), (Z10, Z11))

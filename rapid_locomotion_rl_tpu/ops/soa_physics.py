@@ -81,11 +81,15 @@ def physics_step_soa(
     geom_pos_out = None
     terrain_h = None      # per-geom (h, n) tuples, sampled once
     terrain_n = None
+    lam_w = None          # per-geom world 3x3 inverse apparent inertia
 
     lim_lo = np.asarray(model.dof_lower)
     lim_hi = np.asarray(model.dof_upper)
     vel_lim = np.asarray(model.dof_velocity)
     eff = np.asarray(model.dof_effort)
+
+    apparent = getattr(sim_cfg, "contact_model", "apparent") == "apparent"
+    base_split = 4.0
 
     zeta = jnp.clip(1.0 - params.restitution, 0.08, 1.0)
     mu = 0.5 * (params.friction + (terrain.static_friction
@@ -117,9 +121,11 @@ def physics_step_soa(
                     v_b[par],
                     S.v3_cross(w_b[par], S.v3_sub(p_b[b], p_b[par])))
 
-        # ---- geoms + contact (per geom, elementwise) --------------------
+        # ---- geom world kinematics (per geom, elementwise) --------------
         g_pos = [None] * model.ng
-        g_force = [None] * model.ng
+        g_vel = [None] * model.ng
+        g_h = [None] * model.ng
+        g_n = [None] * model.ng
         for g in range(model.ng):
             b = int(model.geom_body[g])
             off = _const_v3(model.geom_offset[g])
@@ -127,6 +133,7 @@ def physics_step_soa(
             vg = S.v3_add(v_b[b],
                           S.v3_cross(w_b[b], S.v3_sub(pg, p_b[b])))
             g_pos[g] = pg
+            g_vel[g] = vg
             if sub == 0 and terrain is not None:
                 if terrain_h is None:
                     terrain_h, terrain_n = [None] * model.ng, [None] * model.ng
@@ -134,53 +141,47 @@ def physics_step_soa(
                 terrain_h[g] = h
                 terrain_n[g] = (n[..., 0], n[..., 1], n[..., 2])
             if terrain is not None:
-                h = terrain_h[g]
-                n = terrain_n[g]
+                g_h[g] = terrain_h[g]
+                g_n[g] = terrain_n[g]
             else:
-                h = pg[2] * 0.0
-                n = (pg[2] * 0.0, pg[2] * 0.0, pg[2] * 0.0 + 1.0)
+                g_h[g] = pg[2] * 0.0
+                g_n[g] = (pg[2] * 0.0, pg[2] * 0.0, pg[2] * 0.0 + 1.0)
+
+        def legacy_contact_force(g):
+            pg, vg = g_pos[g], g_vel[g]
+            h, n = g_h[g], g_n[g]
             r = float(model.geom_radius[g])
             m_eff = float(model.mass[int(model.geom_body[g])])
             depth = jnp.maximum(h + r - pg[2], 0.0)
             in_c = depth > 0.0
             v_n = S.v3_dot(vg, n)
             v_t = S.v3_sub(vg, S.v3_scale(n, v_n))
-            c_n = zeta * sim_cfg.contact_damping + sim_cfg.contact_stiffness * dt
+            c_n = (zeta * sim_cfg.contact_damping
+                   + sim_cfg.contact_stiffness * dt)
             f_n = jnp.maximum(
                 (sim_cfg.contact_stiffness * depth - c_n * v_n)
                 / (1.0 + c_n * dt / m_eff), 0.0) * in_c
             vt_norm = S.v3_norm(v_t, 1e-12)
             c_t = mu * f_n / (vt_norm + sim_cfg.friction_vel_eps)
             ft_scale = -(c_t / (1.0 + c_t * dt / m_eff))
-            g_force[g] = S.v3_add(S.v3_scale(n, f_n),
-                                  S.v3_scale(v_t, ft_scale))
+            return S.v3_add(S.v3_scale(n, f_n), S.v3_scale(v_t, ft_scale))
 
-        # per-body spatial external forces (own frame): [torque; force]
-        f_ext = [None] * model.nb
-        for b in range(model.nb):
-            if not geoms_of_body[b]:
-                continue
-            Fw = None
-            Nw = None
-            for g in geoms_of_body[b]:
-                arm = S.v3_sub(g_pos[g], p_b[b])
-                tq = S.v3_cross(arm, g_force[g])
-                Fw = g_force[g] if Fw is None else S.v3_add(Fw, g_force[g])
-                Nw = tq if Nw is None else S.v3_add(Nw, tq)
-            f_ext[b] = (S.m3_tvec(R_b[b], Nw), S.m3_tvec(R_b[b], Fw))
-
-        if sub == 0:
-            # contact report per report body (world frame)
-            rep = [None] * model.nr
-            for g in range(model.ng):
-                rb = int(model.geom_report_body[g])
-                rep[rb] = (g_force[g] if rep[rb] is None
-                           else S.v3_add(rep[rb], g_force[g]))
-            zeros = state.base_pos[:, 0] * 0.0
-            report0 = jnp.stack(
-                [_stack_v3(r_) if r_ is not None
-                 else jnp.stack([zeros] * 3, -1) for r_ in rep], axis=1)
-            geom_pos_out = jnp.stack([_stack_v3(p) for p in g_pos], axis=1)
+        def gather_f_ext(g_force):
+            """world sphere forces -> per-body spatial force (own frame)."""
+            f_ext = [None] * model.nb
+            for b in range(model.nb):
+                if not geoms_of_body[b]:
+                    continue
+                Fw = None
+                Nw = None
+                for g in geoms_of_body[b]:
+                    arm = S.v3_sub(g_pos[g], p_b[b])
+                    tq = S.v3_cross(arm, g_force[g])
+                    Fw = (g_force[g] if Fw is None
+                          else S.v3_add(Fw, g_force[g]))
+                    Nw = tq if Nw is None else S.v3_add(Nw, tq)
+                f_ext[b] = (S.m3_tvec(R_b[b], Nw), S.m3_tvec(R_b[b], Fw))
+            return f_ext
 
         # ---- total joint torques (PD input + passive) -------------------
         tau_t = [None] * model.nv
@@ -236,17 +237,15 @@ def physics_step_soa(
                 v_sp[b] = vi
                 c_sp[b] = S.crm(vi, Sqd)
 
-        pA = [None] * model.nb
+        # velocity bias per body (no external forces yet)
+        pA_vel = [None] * model.nb
         for b in range(model.nb):
-            bias = S.crf(v_sp[b], S.sm_vec(IA[b], v_sp[b]))
-            if f_ext[b] is not None:
-                bias = S.sv_sub(bias, f_ext[b])
-            pA[b] = bias
+            pA_vel[b] = S.crf(v_sp[b], S.sm_vec(IA[b], v_sp[b]))
 
-        # backward sweep
+        # backward articulated-inertia sweep (force-independent): U, d, Ia
         U = [None] * model.nb
         dinv = [None] * model.nb
-        u = [None] * model.nb
+        Ia_s = [None] * model.nb
         for d in range(D - 1, -1, -1):
             for k in range(K):
                 b = int(layout.body_index[d, k])
@@ -256,45 +255,165 @@ def physics_step_soa(
                 Ub = S.sm_vec(IA[b], Si)
                 db = jnp.maximum(S.sv_dot(Si, Ub)
                                  + float(model.dof_armature[j]), 1e-9)
-                ub = tau_t[j] - S.sv_dot(Si, pA[b])
-                U[b], dinv[b], u[b] = Ub, 1.0 / db, ub
-                Ia = S.sm_add(IA[b], S.sm_scale(S.sm_outer(Ub, Ub), -1.0 / db))
-                pa = S.sv_add(
-                    S.sv_add(pA[b], S.sm_vec(Ia, c_sp[b])),
-                    S.sv_scale(Ub, ub / db))
+                U[b], dinv[b] = Ub, 1.0 / db
+                Ia = S.sm_add(IA[b],
+                              S.sm_scale(S.sm_outer(Ub, Ub), -1.0 / db))
+                Ia_s[b] = Ia
                 IA[par] = S.sm_add(
                     IA[par],
                     S.xform_inertia_to_parent(E_up[b], p_tree[d][k], Ia))
-                pA[par] = S.sv_add(
-                    pA[par],
-                    S.xform_force_to_parent(E_up[b], p_tree[d][k], pa))
 
-        # base acceleration (freefall frame trick)
         g_b = S.m3_tvec(R0, (base_pos[0] * 0.0, base_pos[0] * 0.0,
                              base_pos[0] * 0.0 + gz))
-        if fixed_base:
-            a0 = (S.v3_zeros_like(base_pos[0]),
-                  S.v3_scale(g_b, -1.0))
-        else:
-            sol = S.solve_psd6(IA[0], pA[0])
-            a0 = (S.v3_scale(sol[0], -1.0), S.v3_scale(sol[1], -1.0))
-        a_true0 = (a0[0], S.v3_add(a0[1], g_b))
 
-        # forward sweep
-        a_sp = [None] * model.nb
-        a_sp[0] = a0
-        qdd = [None] * model.nv
-        for d in range(D):
-            for k in range(K):
-                b = int(layout.body_index[d, k])
-                par = int(model.parent[b])
-                j = int(jidx[d, k])
-                ap = S.sv_add(
-                    S.xform_motion(E_up[b], p_tree[d][k], a_sp[par]),
-                    c_sp[b])
-                qdd[j] = (u[b] - S.sv_dot(U[b], ap)) * dinv[b]
-                Si = (axis_c[d][k], (0.0, 0.0, 0.0))
-                a_sp[b] = S.sv_add(ap, S.sv_scale(Si, qdd[j]))
+        def bias_and_accels(f_ext):
+            """Bias backward sweep + base accel + forward sweep for a given
+            external-force set (the inertia sweep above is shared)."""
+            pA = [None] * model.nb
+            for b in range(model.nb):
+                pA[b] = (pA_vel[b] if f_ext is None or f_ext[b] is None
+                         else S.sv_sub(pA_vel[b], f_ext[b]))
+            u = [None] * model.nb
+            for d in range(D - 1, -1, -1):
+                for k in range(K):
+                    b = int(layout.body_index[d, k])
+                    par = int(model.parent[b])
+                    j = int(jidx[d, k])
+                    Si = (axis_c[d][k], (0.0, 0.0, 0.0))
+                    ub = tau_t[j] - S.sv_dot(Si, pA[b])
+                    u[b] = ub
+                    pa = S.sv_add(
+                        S.sv_add(pA[b], S.sm_vec(Ia_s[b], c_sp[b])),
+                        S.sv_scale(U[b], ub * dinv[b]))
+                    pA[par] = S.sv_add(
+                        pA[par],
+                        S.xform_force_to_parent(E_up[b], p_tree[d][k], pa))
+            if fixed_base:
+                a0 = (S.v3_zeros_like(base_pos[0]), S.v3_scale(g_b, -1.0))
+            else:
+                sol = S.solve_psd6(IA[0], pA[0])
+                a0 = (S.v3_scale(sol[0], -1.0), S.v3_scale(sol[1], -1.0))
+            a_sp = [None] * model.nb
+            a_sp[0] = a0
+            qdd = [None] * model.nv
+            for d in range(D):
+                for k in range(K):
+                    b = int(layout.body_index[d, k])
+                    par = int(model.parent[b])
+                    j = int(jidx[d, k])
+                    ap = S.sv_add(
+                        S.xform_motion(E_up[b], p_tree[d][k], a_sp[par]),
+                        c_sp[b])
+                    qdd[j] = (u[b] - S.sv_dot(U[b], ap)) * dinv[b]
+                    Si = (axis_c[d][k], (0.0, 0.0, 0.0))
+                    a_sp[b] = S.sv_add(ap, S.sv_scale(Si, qdd[j]))
+            return a0, a_sp, qdd
+
+        if apparent:
+            # ---- inverse apparent inertia per geom (once per control
+            # step: q drift within 5 ms is negligible) -------------------
+            if lam_w is None:
+                Phi = [None] * model.nb
+                if fixed_base:
+                    zero3 = S.m3_scale(
+                        S.m3_identity_like(base_pos[0]), 0.0)
+                    Phi[0] = ((zero3, zero3), (zero3, zero3))
+                else:
+                    Phi[0] = S.sm_scale(S.inv_psd6(IA[0]), base_split)
+                for d in range(D):
+                    for k in range(K):
+                        b = int(layout.body_index[d, k])
+                        par = int(model.parent[b])
+                        Si = (axis_c[d][k], (0.0, 0.0, 0.0))
+                        Phi_x = S.xform_phi_to_child(
+                            E_up[b], p_tree[d][k], Phi[par])
+                        MU = S.sm_vec(Phi_x, U[b])
+                        uMu = S.sv_dot(U[b], MU)
+                        Phi_b = S.sm_add(
+                            Phi_x,
+                            S.sm_scale(S.sm_outer(Si, MU), -dinv[b]))
+                        Phi_b = S.sm_add(
+                            Phi_b,
+                            S.sm_scale(S.sm_outer(MU, Si), -dinv[b]))
+                        Phi_b = S.sm_add(
+                            Phi_b,
+                            S.sm_scale(S.sm_outer(Si, Si),
+                                       dinv[b] + uMu * dinv[b] * dinv[b]))
+                        Phi[b] = Phi_b
+                lam_w = [None] * model.ng
+                for g in range(model.ng):
+                    b = int(model.geom_body[g])
+                    (A_, B_), (C_, D_) = Phi[b]
+                    Sg = S.m3_scale(S.m3_skew(_const_v3(
+                        model.geom_offset[g])), -1.0)
+                    Sgt = S.m3_t(Sg)
+                    lam_b = S.m3_add(
+                        S.m3_add(S.m3_mul(Sg, S.m3_add(S.m3_mul(A_, Sgt),
+                                                       B_)),
+                                 S.m3_mul(C_, Sgt)), D_)
+                    lam_w[g] = S.m3_mul(S.m3_mul(R_b[b], lam_b),
+                                        S.m3_t(R_b[b]))
+
+            # ---- free dynamics -> per-geom free point acceleration ------
+            _, a_free, _ = bias_and_accels(None)
+            g_force = [None] * model.ng
+            for g in range(model.ng):
+                b = int(model.geom_body[g])
+                a_ang, a_lin = a_free[b]
+                a_lin_true = S.v3_add(a_lin, S.m3_tvec(R_b[b], (
+                    base_pos[0] * 0.0, base_pos[0] * 0.0,
+                    base_pos[0] * 0.0 + gz)))
+                wdot_w = S.m3_vec(R_b[b], a_ang)
+                a_org_w = S.v3_add(S.m3_vec(R_b[b], a_lin_true),
+                                   S.v3_cross(w_b[b], v_b[b]))
+                r_w = S.v3_sub(g_pos[g], p_b[b])
+                a_pt = S.v3_add(
+                    S.v3_add(a_org_w, S.v3_cross(wdot_w, r_w)),
+                    S.v3_cross(w_b[b], S.v3_cross(w_b[b], r_w)))
+
+                # TGS-style velocity constraint solve against lam_w[g]
+                # (see contact.contact_forces_implicit)
+                pg, n = g_pos[g], g_n[g]
+                rad = float(model.geom_radius[g])
+                depth = jnp.maximum(g_h[g] + rad - pg[2], 0.0)
+                in_c = (depth > 0.0).astype(pg[2].dtype)
+                v_pred = S.v3_add(g_vel[g], S.v3_scale(a_pt, dt))
+                v_n_now = S.v3_dot(g_vel[g], n)
+                bias = jnp.minimum(sim_cfg.erp / dt * depth,
+                                   sim_cfg.max_depenetration_velocity)
+                bounce = jnp.where(
+                    v_n_now < -sim_cfg.bounce_threshold_velocity,
+                    -params.restitution * v_n_now, 0.0)
+                v_tgt_n = jnp.maximum(bias, bounce)
+                dv = S.v3_sub(S.v3_scale(n, v_tgt_n), v_pred)
+                f = S.m3_solve(lam_w[g], S.v3_scale(dv, 1.0 / dt))
+                f_n = S.v3_dot(f, n)
+                f_t = S.v3_sub(f, S.v3_scale(n, f_n))
+                f_n = jnp.maximum(f_n, 0.0) * in_c
+                ft_norm = S.v3_norm(f_t, 1e-18)
+                scale = jnp.minimum(1.0, mu * f_n / (ft_norm + 1e-9)) * in_c
+                g_force[g] = S.v3_add(S.v3_scale(n, f_n),
+                                      S.v3_scale(f_t, scale))
+        else:
+            g_force = [legacy_contact_force(g) for g in range(model.ng)]
+
+        f_ext = gather_f_ext(g_force)
+
+        if sub == 0:
+            # contact report per report body (world frame)
+            rep = [None] * model.nr
+            for g in range(model.ng):
+                rb = int(model.geom_report_body[g])
+                rep[rb] = (g_force[g] if rep[rb] is None
+                           else S.v3_add(rep[rb], g_force[g]))
+            zeros = state.base_pos[:, 0] * 0.0
+            report0 = jnp.stack(
+                [_stack_v3(r_) if r_ is not None
+                 else jnp.stack([zeros] * 3, -1) for r_ in rep], axis=1)
+            geom_pos_out = jnp.stack([_stack_v3(p) for p in g_pos], axis=1)
+
+        a0, _, qdd = bias_and_accels(f_ext)
+        a_true0 = (a0[0], S.v3_add(a0[1], g_b))
 
         # ---- integrate (semi-implicit, SoA) -----------------------------
         if fixed_base:

@@ -24,6 +24,13 @@ import numpy as np
 
 
 def save_pytree(tree: Any, path: str):
+    if jax.process_count() > 1:
+        # cross-process shards are not host-addressable; gather the full
+        # arrays on every host, then let process 0 write
+        from jax.experimental import multihost_utils
+        tree = multihost_utils.process_allgather(tree, tiled=True)
+        if jax.process_index() != 0:
+            return
     os.makedirs(os.path.dirname(path), exist_ok=True)
     host_tree = jax.device_get(tree)
     with open(path, "wb") as f:

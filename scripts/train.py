@@ -24,11 +24,36 @@ def main():
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--resume", default=None,
                     help="path to a train_state checkpoint to resume from")
+    ap.add_argument("--entropy-coef", type=float, default=None,
+                    help="override PPOArgs.entropy_coef")
+    ap.add_argument("--num-eval-envs", type=int, default=None)
+    ap.add_argument("--terrain", default=None,
+                    choices=["plane", "heightfield", "trimesh"],
+                    help="override cfg.terrain.mesh_type")
+    ap.add_argument("--mesh", default="auto", choices=["auto", "data", "none"],
+                    help="multi-chip data mesh over the env axis: 'auto' "
+                         "shards when jax.device_count() > 1")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() first "
+                         "(multi-process / multi-host; reads "
+                         "JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, "
+                         "JAX_PROCESS_ID env vars)")
     args = ap.parse_args()
+
+    if args.distributed or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        import jax
+        coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+        nproc = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(nproc) if nproc else None,
+            process_id=int(pid) if pid else None)
 
     from rapid_locomotion_rl_tpu.config import (config_go1,
                                                 config_mini_cheetah)
     from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+    from rapid_locomotion_rl_tpu.learn.ppo import PPOArgs
     from rapid_locomotion_rl_tpu.learn.runner import Runner, RunnerArgs
 
     cfg = (config_mini_cheetah() if args.robot == "mini_cheetah"
@@ -36,6 +61,15 @@ def main():
     cfg.seed = args.seed
     if args.num_envs is not None:
         cfg.env.num_envs = args.num_envs
+    if args.num_eval_envs is not None:
+        cfg.env.num_eval_envs = args.num_eval_envs
+    if args.terrain is not None:
+        cfg.terrain.mesh_type = args.terrain
+        if args.terrain == "plane":
+            cfg.terrain.teleport_robots = False
+    ppo_args = PPOArgs()
+    if args.entropy_coef is not None:
+        ppo_args.entropy_coef = args.entropy_coef
 
     if args.logdir is None:
         stamp = datetime.now().strftime("%Y-%m-%d/%H%M%S.%f")
@@ -43,10 +77,20 @@ def main():
 
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, logdir=args.logdir, seed=args.seed,
+                    ppo_args=ppo_args,
                     runner_args=RunnerArgs(max_iterations=args.iterations,
                                            save_video_interval=400))
     if args.resume:
         runner.load_checkpoint(args.resume)
+
+    import jax
+    if args.mesh == "data" or (args.mesh == "auto"
+                               and jax.device_count() > 1):
+        from rapid_locomotion_rl_tpu.parallel.sharding import (
+            make_sharded_runner_placement)
+        mesh = make_sharded_runner_placement(runner)
+        print(f"sharding env axis over {mesh.devices.size} devices "
+              f"({jax.process_count()} process(es))")
     print(f"training {args.robot} x{cfg.env.num_envs} envs "
           f"-> {args.logdir}")
     runner.learn(args.iterations, init_at_random_ep_len=True,

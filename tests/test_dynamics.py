@@ -217,7 +217,10 @@ def test_mini_cheetah_standing(dt):
     bz = Q.quat_rotate(jnp.asarray(up), jnp.array([0.0, 0.0, 1.0]))
     assert float(bz[2]) > 0.95
     # joints near the PD target (gravity sag under the soft Kp=20 gains)
-    np.testing.assert_allclose(np.asarray(final.q), np.asarray(q0), atol=0.35)
+    # with true stiction, feet stay where they land: the settled pose can
+    # deviate from the PD target by the friction-held splay (the cone-
+    # projected creep decays to zero; see round-2 contact redesign)
+    np.testing.assert_allclose(np.asarray(final.q), np.asarray(q0), atol=0.5)
 
 
 def test_mini_cheetah_drop():

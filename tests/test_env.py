@@ -168,3 +168,29 @@ def test_curriculum_sampling_respects_weights():
     assert np.all(w[np.asarray(bins)] > 0)  # only active bins sampled
     # initial range is [-0.6, 0.6] for vx: samples within cell margin
     assert np.all(np.abs(np.asarray(cmds[:, 0])) < 0.6 + 0.5 * grid.bin_sizes[0])
+
+
+def test_control_type_v():
+    """Velocity PD control (reference _compute_torques 'V' branch,
+    legged_robot.py:671-673): tau = p*(cmd_vel - qd) - d*(qd - last_qd)/dt,
+    times motor strength, clipped to effort limits."""
+    c = small_mc_cfg(num_envs=2)
+    c.terrain.mesh_type = "plane"
+    c.terrain.teleport_robots = False
+    c.control.control_type = "V"
+    c.control.stiffness = {"joint": 5.0}
+    c.control.damping = {"joint": 0.01}
+    env = LeggedRobotEnv(c)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    sim = state.sim._replace(
+        qd=0.3 * jnp.ones_like(state.sim.qd))
+    last = 0.1 * jnp.ones_like(state.sim.qd)
+    act = 0.5 * jnp.ones((2, env.num_actions))
+    tau, _ = env._compute_torques(act, sim, state.dr, last_dof_vel=last)
+    scaled = 0.5 * c.control.action_scale * np.where(
+        np.asarray(env.hip_mask) > 0, c.control.hip_scale_reduction, 1.0)
+    expect = (5.0 * (scaled - 0.3) - 0.01 * (0.3 - 0.1) / c.sim.dt)
+    expect = np.clip(expect * np.asarray(state.dr.motor_strengths),
+                     -np.asarray(env.torque_limits),
+                     np.asarray(env.torque_limits))
+    np.testing.assert_allclose(np.asarray(tau), expect, rtol=1e-5, atol=1e-6)

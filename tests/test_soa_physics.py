@@ -51,9 +51,10 @@ def rand_params(n, seed):
 
 
 @pytest.mark.parametrize("airborne", [False, True])
-def test_soa_matches_aos(model, airborne):
+@pytest.mark.parametrize("contact_model", ["legacy", "apparent"])
+def test_soa_matches_aos(model, airborne, contact_model):
     n = 16
-    sim = SimCfg()
+    sim = SimCfg(contact_model=contact_model)
     state = batched_state(model, n, 0, airborne)
     params = rand_params(n, 0)
     # modest torques: +-10 Nm on a 2.5e-4 kg m^2 calf reaches the joint
@@ -96,11 +97,12 @@ def test_soa_matches_aos(model, airborne):
         mostly_close(o1.contact_report, o2.contact_report, 0.5)
 
 
-def test_soa_matches_aos_strict(model):
+@pytest.mark.parametrize("contact_model", ["legacy", "apparent"])
+def test_soa_matches_aos_strict(model, contact_model):
     """Torque-free flight: no contact, no limit hits — bit-tight."""
     import dataclasses
     n = 16
-    sim = SimCfg()
+    sim = SimCfg(contact_model=contact_model)
     state = batched_state(model, n, 3, airborne=True)
     params = rand_params(n, 3)
     tau = jnp.zeros((n, 12))
@@ -115,10 +117,11 @@ def test_soa_matches_aos_strict(model):
                                np.asarray(o2.state.base_lin_vel), atol=1e-3)
 
 
-def test_soa_multistep_stable(model):
+@pytest.mark.parametrize("contact_model", ["legacy", "apparent"])
+def test_soa_multistep_stable(model, contact_model):
     """100 SoA steps of PD standing stay finite and settled."""
     n = 8
-    sim = SimCfg()
+    sim = SimCfg(contact_model=contact_model)
     q0 = jnp.asarray([(-0.1 if nm.startswith(("FR", "RR")) else 0.1)
                       if "hip" in nm else (-0.8 if "thigh" in nm else 1.62)
                       for nm in model.joint_names])

@@ -82,3 +82,22 @@ def test_trimesh_export():
     assert tri.shape == (2 * 49 * 49, 3)
     assert v[:, 2].max() == pytest.approx(0.5)
     assert tri.max() < 2500
+
+
+def test_selected_terrain():
+    """Reference selected_terrain path (terrain.py:104-117): one chosen
+    generator with kwargs for every sub-terrain."""
+    cfg = config_mini_cheetah()
+    cfg.terrain.num_rows = 2
+    cfg.terrain.num_cols = 2
+    cfg.terrain.border_size = 5.0
+    cfg.terrain.curriculum = False
+    cfg.terrain.selected = True
+    cfg.terrain.terrain_kwargs = {
+        "type": "pyramid_stairs_terrain",
+        "step_width": 0.31, "step_height": 0.1, "platform_size": 3.0}
+    t = T.Terrain(cfg.terrain, num_robots=16, seed=0)
+    hf = t.height_field_raw
+    assert hf.max() > 0          # stairs rise above the border plane
+    # the config dict is not mutated (reference pops 'type' destructively)
+    assert cfg.terrain.terrain_kwargs["type"] == "pyramid_stairs_terrain"
