@@ -2,9 +2,11 @@
 flagship configuration (Mini Cheetah, 4000 envs, 24 steps/env/iter,
 5x4 minibatch PPO — BASELINE.md).
 
-Prints ONE JSON line:
+Prints ONE JSON line on stdout:
   {"metric": "env_steps_per_sec", "value": N, "unit": "env-steps/s",
    "vs_baseline": N / 50000}
+Supplementary detail (rollout/update phase split, per-size sweep) goes to
+stderr so the driver's single-line contract holds.
 """
 
 import json
@@ -12,18 +14,14 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 
-def main():
+def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None):
     from rapid_locomotion_rl_tpu.config import config_mini_cheetah
     from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
     from rapid_locomotion_rl_tpu.learn.ppo import (PPOArgs, init_ppo_state,
-                                                   make_train_iteration)
+                                                   make_train_functions)
     from rapid_locomotion_rl_tpu.models.networks import ACArgs, ActorCritic
-
-    num_envs = 4000
-    steps_per_env = 24
 
     cfg = config_mini_cheetah()
     cfg.env.num_envs = num_envs
@@ -36,31 +34,70 @@ def main():
     ppo_state = init_ppo_state(k1, ac, ppo_args, env.num_obs,
                                env.num_privileged_obs, env.num_obs_history)
     env_state = env.initial_state(k2)
-    train_it = make_train_iteration(env, ac, ppo_args, steps_per_env,
-                                    split=True)
+    rollout_gae, update = make_train_functions(env, ac, ppo_args,
+                                               steps_per_env)
+    rollout_gae = jax.jit(rollout_gae)
+    update = jax.jit(update)
+
+    def one_iter(env_state, ppo_state, k):
+        k_r, k_u = jax.random.split(k)
+        env_state, traj, adv, ret, _ = rollout_gae(
+            env_state, ppo_state.params, k_r)
+        ppo_state, metrics = update(ppo_state, traj, adv, ret, k_u)
+        return env_state, ppo_state, traj, adv, ret, metrics
 
     # warmup/compile: two iterations, so any signature change after the
     # first call (weak-type promotion) has also been compiled
     for _ in range(2):
         k3, k = jax.random.split(k3)
-        env_state, ppo_state, metrics = train_it(env_state, ppo_state, k)
+        env_state, ppo_state, traj, adv, ret, metrics = one_iter(
+            env_state, ppo_state, k)
     jax.block_until_ready(metrics["kl"])
 
-    n_iter = 5
     t0 = time.time()
     for _ in range(n_iter):
         k3, k = jax.random.split(k3)
-        env_state, ppo_state, metrics = train_it(env_state, ppo_state, k)
+        env_state, ppo_state, traj, adv, ret, metrics = one_iter(
+            env_state, ppo_state, k)
     jax.block_until_ready(metrics["kl"])
-    dt = (time.time() - t0) / n_iter
+    dt_total = (time.time() - t0) / n_iter
 
-    steps_per_sec = num_envs * steps_per_env / dt
+    # phase split (timed separately on the same state)
+    k3, k = jax.random.split(k3)
+    k_r, k_u = jax.random.split(k)
+    t0 = time.time()
+    for _ in range(5):
+        out = rollout_gae(env_state, ppo_state.params, k_r)
+    jax.block_until_ready(out[0].obs)
+    dt_roll = (time.time() - t0) / 5
+    t0 = time.time()
+    for _ in range(5):
+        ps, m = update(ppo_state, traj, adv, ret, k_u)
+    jax.block_until_ready(m["kl"])
+    dt_upd = (time.time() - t0) / 5
+
+    steps = num_envs * steps_per_env
+    log(f"[bench] {num_envs} envs: {steps / dt_total:,.0f} env-steps/s "
+        f"(iter {dt_total * 1e3:.1f} ms = rollout {dt_roll * 1e3:.1f} "
+        f"+ update {dt_upd * 1e3:.1f} ms)")
+    return steps / dt_total
+
+
+def main():
+    log = lambda s: print(s, file=sys.stderr, flush=True)  # noqa: E731
+    sweep = {}
+    for n in (1024, 4000, 8192):
+        try:
+            sweep[n] = _bench_size(n, 24, log=log)
+        except Exception as e:  # noqa: BLE001 - sweep sizes are best-effort
+            log(f"[bench] {n} envs failed: {e}")
+    flagship = sweep.get(4000)
     baseline = 50_000.0  # BASELINE.md north-star (~45-50k env-steps/s, 1 GPU)
     print(json.dumps({
         "metric": "env_steps_per_sec",
-        "value": round(steps_per_sec),
+        "value": round(flagship),
         "unit": "env-steps/s",
-        "vs_baseline": round(steps_per_sec / baseline, 3),
+        "vs_baseline": round(flagship / baseline, 3),
     }))
 
 

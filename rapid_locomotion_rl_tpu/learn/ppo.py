@@ -184,11 +184,14 @@ def compute_gae(traj: Transition, last_values, gamma: float, lam: float):
 # ---------------------------------------------------------------------------
 def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
                traj: Transition, advantages, returns, key,
-               num_train_envs: int, grad_sync=None
+               num_train_envs: int
                ) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
     """5 epochs x 4 minibatches over the flattened train-env transitions
-    (ppo.py:94-178). `grad_sync` (optional) psums gradients across the data
-    mesh for multi-chip training."""
+    (ppo.py:94-178). Multi-chip gradient reduction needs no explicit
+    collectives here: with the env axis sharded and params replicated,
+    GSPMD partitions this function and inserts the psums itself
+    (parallel/sharding.py, tests/test_sharding.py,
+    tests/test_multihost.py)."""
     T = traj.obs.shape[0]
     B_total = T * num_train_envs
     nmb = ppo_args.num_mini_batches
@@ -205,13 +208,8 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
         adv=flat(advantages), ret=flat(returns))
 
     # advantage normalization over the whole batch (rollout_storage.py:90)
-    if grad_sync is not None:
-        a_mean = grad_sync(jnp.mean(data["adv"]))
-        a_var = grad_sync(jnp.mean((data["adv"] - a_mean) ** 2))
-        a_std = jnp.sqrt(a_var)
-    else:
-        a_mean = jnp.mean(data["adv"])
-        a_std = jnp.std(data["adv"])
+    a_mean = jnp.mean(data["adv"])
+    a_std = jnp.std(data["adv"])
     data["adv"] = (data["adv"] - a_mean) / (a_std + 1e-8)
 
     # one global permutation reused across epochs (rollout_storage.py:103)
@@ -265,9 +263,6 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
 
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, mb)
-        if grad_sync is not None:
-            grads = jax.tree.map(grad_sync, grads)
-            aux = {**aux, "kl": grad_sync(aux["kl"])}
 
         # adaptive-KL LR schedule (ppo.py:110-124), applied to this step
         if ppo_args.desired_kl is not None and ppo_args.schedule == "adaptive":
@@ -288,9 +283,6 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
                    if ac.args.use_latent else 0)
         for _ in range(n_adapt):
             a_loss_i, a_grads = jax.value_and_grad(adapt_loss_fn)(params, mb)
-            if grad_sync is not None:
-                a_grads = jax.tree.map(grad_sync, a_grads)
-                a_loss_i = grad_sync(a_loss_i)
             a_updates, adapt_opt_state = adapt_tx.update(
                 a_grads, adapt_opt_state, params)
             params = optax.apply_updates(params, a_updates)
@@ -330,8 +322,7 @@ def _aggregate_rollout_metrics(traj: Transition, infos):
 
 
 def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
-                         num_steps_per_env: int, eval_expert: bool = False,
-                         grad_sync=None):
+                         num_steps_per_env: int, eval_expert: bool = False):
     """The two halves of a training iteration as separate functions:
     (rollout+GAE, update). Used directly by the split pipeline and composed
     by :func:`make_train_iteration`."""
@@ -350,15 +341,14 @@ def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
 
     def update(ppo_state: PPOState, traj, advantages, returns, key):
         return ppo_update(ac, ppo_args, ppo_state, traj, advantages,
-                          returns, key, env.num_train_envs,
-                          grad_sync=grad_sync)
+                          returns, key, env.num_train_envs)
 
     return rollout_gae, update
 
 
 def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
                          num_steps_per_env: int, eval_expert: bool = False,
-                         grad_sync=None, split: bool = False):
+                         split: bool = False):
     """One full training iteration: rollout + GAE + update
     (the per-iteration block of Runner.learn, ppo/__init__.py:123-203).
 
@@ -368,7 +358,7 @@ def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
     unit is smaller (the monolithic program occasionally compiles to a
     poorly scheduled executable on some toolchains)."""
     rollout_gae, update = make_train_functions(
-        env, ac, ppo_args, num_steps_per_env, eval_expert, grad_sync)
+        env, ac, ppo_args, num_steps_per_env, eval_expert)
 
     if split:
         rollout_gae_j = jax.jit(rollout_gae)

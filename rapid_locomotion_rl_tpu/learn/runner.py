@@ -45,7 +45,7 @@ class Runner:
                  ppo_args: Optional[PPOArgs] = None,
                  runner_args: Optional[RunnerArgs] = None,
                  seed: int = 0, eval_expert: bool = False,
-                 grad_sync=None, device=None):
+                 device=None):
         self.env = env
         self.ac_args = ac_args or ACArgs()
         self.ppo_args = ppo_args or PPOArgs()
@@ -70,7 +70,7 @@ class Runner:
         # split pipeline: two jitted halves, device-resident in between
         self._train_iter = make_train_iteration(
             env, self.ac, self.ppo_args, self.args.num_steps_per_env,
-            eval_expert=eval_expert, grad_sync=grad_sync, split=True)
+            eval_expert=eval_expert, split=True)
         self._reset_eval = jax.jit(
             lambda s: env.reset_envs(
                 s, jnp.arange(env.num_envs) >= env.num_train_envs))

@@ -102,18 +102,37 @@ def _geom_spheres(col_el, link_name: str) -> List[Tuple[np.ndarray, float, str]]
         if ge.tag == "sphere":
             out.append((off.copy(), float(ge.get("radius")), link_name))
         elif ge.tag == "box":
+            # grid of spheres (radius = smallest half-extent) spanning the
+            # two larger axes, dense enough that every point of the box
+            # surface is within ~one radius of a sphere. A sparse corner
+            # set under-covers plate-like boxes: the mini-cheetah thigh
+            # (0.17x0.015x0.03) then never touched the ground when the
+            # robot splayed flat or knelt — removing the contact
+            # termination PhysX delivers, and RL found the exploit
+            # (policies converged to lying spread-eagled; round-2 notes).
             half = _vec(ge.get("size")) / 2.0
             order = np.argsort(-half)          # longest axes first
-            r = float(half[order[2]])
             a, b = order[0], order[1]
-            da = max(half[a] - r, 0.0)
-            db = max(half[b] - r, 0.0)
+            # rod/plate (one dominant axis): a single row of spheres with
+            # the MIDDLE half-extent as radius — matches the box edge the
+            # ground meets when a leg kneels, slightly overcovers the thin
+            # face; near-isotropic boxes: a grid at the smallest extent
+            plate = half[order[0]] >= 3.0 * half[order[1]]
+            r = float(half[order[1]] if plate else half[order[2]])
+
+            def _centers(h):
+                span = max(h - r, 0.0)
+                n = int(np.clip(np.ceil(h / max(r, 1e-6)), 1, 6))
+                if n == 1:
+                    return [0.0]
+                return list(np.linspace(-span, span, n))
+
             seen = set()
-            for sa in (-1.0, 1.0):
-                for sb in (-1.0, 1.0):
+            for ca in _centers(half[a]):
+                for cb in ([0.0] if plate else _centers(half[b])):
                     local = np.zeros(3)
-                    local[a] = sa * da
-                    local[b] = sb * db
+                    local[a] = ca
+                    local[b] = cb
                     key = tuple(np.round(local, 9))
                     if key in seen:
                         continue

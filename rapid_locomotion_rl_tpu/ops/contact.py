@@ -259,6 +259,14 @@ def contact_forces_implicit(
                        -restitution * v_n_now, 0.0)
     v_tgt_n = jnp.maximum(bias, bounce)
 
+    # Jacobi mass splitting across SIMULTANEOUS contacts on one body:
+    # each contact solves against 1/k of the body's response (k = number
+    # of active contacts there), bounding the combined overshoot
+    body_oh = _body_onehot(model)                        # [nb,ng]
+    n_active = body_oh @ in_contact                      # [nb]
+    split = jnp.maximum(n_active[model.geom_body], 1.0)  # [ng]
+    lam_inv = lam_inv * split[..., None, None]
+
     # f = Lam (v_target - v_pred)/dt  <=>  lam_inv f = (v_target - v_pred)/dt
     dv = n * v_tgt_n[..., None] - v_pred
     f = solve33(lam_inv, dv / dt)

@@ -233,21 +233,23 @@ def _body_rotations(model, state: SimState):
     return Rs
 
 
-def point_accels(model, frames: BodyFrames, a_body: jnp.ndarray
-                 ) -> jnp.ndarray:
-    """Classical world-frame acceleration of every collision-sphere center,
-    given the true per-body spatial accelerations from :func:`aba`
-    (``return_body_accels=True``). Used as the contact solver's free
-    acceleration: v_pred = v + dt * a_pt."""
+def point_accels(model, frames: BodyFrames, a_body: jnp.ndarray,
+                 arm_w=None) -> jnp.ndarray:
+    """Classical world-frame acceleration of a point on each collision
+    sphere's body (default: the sphere center; pass ``arm_w`` [ng,3] world
+    arms for the contact points), given the true per-body spatial
+    accelerations from :func:`aba` (``return_body_accels=True``). Used as
+    the contact solver's free acceleration: v_pred = v + dt * a_pt."""
     gb = model.geom_body
-    off = jnp.asarray(model.geom_offset, jnp.float32)      # [ng,3]
     Rg = frames.R[gb]                                      # [ng,3,3]
     wdot_w = jnp.einsum("gij,gj->gi", Rg, a_body[gb, :3])
     a_org_w = (jnp.einsum("gij,gj->gi", Rg, a_body[gb, 3:])
                + jnp.cross(frames.w[gb], frames.v[gb]))
-    r = jnp.einsum("gij,gj->gi", Rg, off)                  # world arm
-    return (a_org_w + jnp.cross(wdot_w, r)
-            + jnp.cross(frames.w[gb], jnp.cross(frames.w[gb], r)))
+    if arm_w is None:
+        off = jnp.asarray(model.geom_offset, jnp.float32)  # [ng,3]
+        arm_w = jnp.einsum("gij,gj->gi", Rg, off)
+    return (a_org_w + jnp.cross(wdot_w, arm_w)
+            + jnp.cross(frames.w[gb], jnp.cross(frames.w[gb], arm_w)))
 
 
 def inv_psd6(A: jnp.ndarray) -> jnp.ndarray:
@@ -262,7 +264,8 @@ def inv_psd6(A: jnp.ndarray) -> jnp.ndarray:
 def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
                         payload: jnp.ndarray, com_offset: jnp.ndarray,
                         fixed_base: bool = False,
-                        base_split: float = 4.0) -> jnp.ndarray:
+                        base_split: float = 4.0,
+                        contact_arm_w=None) -> jnp.ndarray:
     """Per-geom 3x3 inverse apparent inertia (the diagonal of the Delassus
     operator) at every collision sphere, in world coordinates.
 
@@ -333,17 +336,26 @@ def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
         P = jnp.eye(6, dtype=f32) - jnp.outer(Ss[i], Us[i]) / ds[i]
         Phi[i] = (jnp.outer(Ss[i], Ss[i]) / ds[i] + P @ M @ P.T)
 
-    # project to world-frame point inverse inertia per geom
+    # project to world-frame point inverse inertia per geom.
+    # contact_arm_w (optional, [ng,3]): world-frame arm from the body
+    # origin to the CONTACT POINT (sphere surface, not center) — the
+    # friction constraint must act where the material touches.
     if model.ng == 0:
         return jnp.zeros((0, 3, 3), f32)
     lam_inv = []
     for g in range(model.ng):
         b = int(model.geom_body[g])
-        r = jnp.asarray(model.geom_offset[g], f32)
-        G = jnp.concatenate((-S.skew(r), jnp.eye(3, dtype=f32)), axis=-1)
-        L_body = G @ Phi[b] @ G.T
         R = frames.R[b]
-        lam_inv.append(R @ L_body @ R.T)
+        if contact_arm_w is None:
+            r = R @ jnp.asarray(model.geom_offset[g], f32)
+        else:
+            r = contact_arm_w[g]
+        # world-frame Phi: T Phi T^T with T = blockdiag(R, R)
+        A_w = R @ Phi[b][:3, :3] @ R.T
+        B_w = R @ Phi[b][:3, 3:] @ R.T
+        D_w = R @ Phi[b][3:, 3:] @ R.T
+        Sm = -S.skew(r)
+        lam_inv.append(Sm @ A_w @ Sm.T + Sm @ B_w + B_w.T @ Sm.T + D_w)
     return jnp.stack(lam_inv)         # [ng,3,3]
 
 

@@ -81,24 +81,37 @@ def physics_step(
 
         if contact_model == "apparent":
             # round-2 solver: free dynamics -> implicit contact against the
-            # true articulated point response -> final dynamics
+            # true articulated point response -> final dynamics.
+            # The constraint acts at the CONTACT POINT on the sphere
+            # surface, not the center: a stance foot pivoting about its
+            # contact has v_contact = 0 while the center moves — friction
+            # on the center velocity fights the pivot and makes walking
+            # impossible (measured via scripts/sim2sim.py).
+            gb = model.geom_body
+            radius = jnp.asarray(model.geom_radius, jnp.float32)
+            n_w = terrain_hn[1]
+            p_c = geom_pos - n_w * radius[:, None]
+            arm_w = p_c - frames.p[gb]
+            v_c = geom_vel + jnp.cross(frames.w[gb], p_c - geom_pos)
             if lam_inv is None:   # q drifts ~nothing within one control step
                 lam_inv = contact_inv_inertia(
                     model, state, frames, params.payload,
-                    params.com_displacement, fixed_base=fixed_base)
+                    params.com_displacement, fixed_base=fixed_base,
+                    contact_arm_w=arm_w)
             qdd_f, a0_f, a_body = aba(
                 model, state, tau_total, None, gravity,
                 params.payload, params.com_displacement,
                 fixed_base=fixed_base, return_body_accels=True)
-            a_pt = point_accels(model, frames, a_body)
+            a_pt = point_accels(model, frames, a_body, arm_w=arm_w)
             forces, report = contact_forces_implicit(
-                model, geom_pos, geom_vel, a_pt, lam_inv,
+                model, geom_pos, v_c, a_pt, lam_inv,
                 params.friction, params.restitution, terrain_hn,
                 erp=sim_cfg.erp,
                 max_depenetration_velocity=sim_cfg.max_depenetration_velocity,
                 bounce_threshold_velocity=sim_cfg.bounce_threshold_velocity,
                 friction_vel_eps=sim_cfg.friction_vel_eps,
                 dt=dt, terrain_friction=terrain_mu)
+            f_ext = spatial_forces_on_bodies(model, frames, p_c, forces)
         else:
             forces, report = contact_forces(
                 model, geom_pos, geom_vel,
@@ -107,7 +120,8 @@ def physics_step(
                 damping=sim_cfg.contact_damping,
                 friction_vel_eps=sim_cfg.friction_vel_eps,
                 dt=dt, terrain_friction=terrain_mu)
-        f_ext = spatial_forces_on_bodies(model, frames, geom_pos, forces)
+            f_ext = spatial_forces_on_bodies(model, frames, geom_pos,
+                                             forces)
 
         qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
                          params.payload, params.com_displacement,

@@ -166,8 +166,9 @@ def physics_step_soa(
             ft_scale = -(c_t / (1.0 + c_t * dt / m_eff))
             return S.v3_add(S.v3_scale(n, f_n), S.v3_scale(v_t, ft_scale))
 
-        def gather_f_ext(g_force):
-            """world sphere forces -> per-body spatial force (own frame)."""
+        def gather_f_ext(g_force, g_app=None):
+            """world sphere forces (applied at g_app[g], default sphere
+            centers) -> per-body spatial force (own frame)."""
             f_ext = [None] * model.nb
             for b in range(model.nb):
                 if not geoms_of_body[b]:
@@ -175,7 +176,8 @@ def physics_step_soa(
                 Fw = None
                 Nw = None
                 for g in geoms_of_body[b]:
-                    arm = S.v3_sub(g_pos[g], p_b[b])
+                    at = g_pos[g] if g_app is None else g_app[g]
+                    arm = S.v3_sub(at, p_b[b])
                     tq = S.v3_cross(arm, g_force[g])
                     Fw = (g_force[g] if Fw is None
                           else S.v3_add(Fw, g_force[g]))
@@ -340,25 +342,57 @@ def physics_step_soa(
                             S.sm_scale(S.sm_outer(Si, Si),
                                        dinv[b] + uMu * dinv[b] * dinv[b]))
                         Phi[b] = Phi_b
-                lam_w = [None] * model.ng
-                for g in range(model.ng):
-                    b = int(model.geom_body[g])
+                # world-frame Phi blocks per body (projected per geom with
+                # the dynamic contact-point arm below)
+                phi_w = [None] * model.nb
+                for b in set(int(model.geom_body[g])
+                             for g in range(model.ng)):
                     (A_, B_), (C_, D_) = Phi[b]
-                    Sg = S.m3_scale(S.m3_skew(_const_v3(
-                        model.geom_offset[g])), -1.0)
-                    Sgt = S.m3_t(Sg)
-                    lam_b = S.m3_add(
-                        S.m3_add(S.m3_mul(Sg, S.m3_add(S.m3_mul(A_, Sgt),
-                                                       B_)),
-                                 S.m3_mul(C_, Sgt)), D_)
-                    lam_w[g] = S.m3_mul(S.m3_mul(R_b[b], lam_b),
-                                        S.m3_t(R_b[b]))
+                    Rt = S.m3_t(R_b[b])
+                    phi_w[b] = (
+                        S.m3_mul(S.m3_mul(R_b[b], A_), Rt),
+                        S.m3_mul(S.m3_mul(R_b[b], B_), Rt),
+                        S.m3_mul(S.m3_mul(R_b[b], D_), Rt))
+                lam_w = [None] * model.ng
 
             # ---- free dynamics -> per-geom free point acceleration ------
             _, a_free, _ = bias_and_accels(None)
+            # per-body active-contact counts for Jacobi mass splitting
+            g_in_c = [None] * model.ng
+            for g in range(model.ng):
+                rad_g = float(model.geom_radius[g])
+                g_in_c[g] = (g_h[g] + rad_g - g_pos[g][2] > 0.0
+                             ).astype(g_pos[g][2].dtype)
+            n_active = [None] * model.nb
+            for b in range(model.nb):
+                tot = None
+                for g in geoms_of_body[b]:
+                    tot = g_in_c[g] if tot is None else tot + g_in_c[g]
+                n_active[b] = tot
             g_force = [None] * model.ng
+            g_cp = [None] * model.ng
             for g in range(model.ng):
                 b = int(model.geom_body[g])
+                pg, n = g_pos[g], g_n[g]
+                rad = float(model.geom_radius[g])
+                # contact point on the sphere surface: friction must act
+                # where the material touches, or stance-foot pivoting is
+                # misread as sliding (scripts/sim2sim.py)
+                p_c = S.v3_sub(pg, S.v3_scale(n, rad))
+                g_cp[g] = p_c
+                r_w = S.v3_sub(p_c, p_b[b])
+                v_c = S.v3_add(g_vel[g],
+                               S.v3_cross(w_b[b], S.v3_sub(p_c, pg)))
+
+                if lam_w[g] is None:
+                    A_w, B_w, D_w = phi_w[b]
+                    Sm = S.m3_scale(S.m3_skew(r_w), -1.0)
+                    Smt = S.m3_t(Sm)
+                    SmB = S.m3_mul(Sm, B_w)
+                    lam_w[g] = S.m3_add(
+                        S.m3_add(S.m3_mul(S.m3_mul(Sm, A_w), Smt),
+                                 S.m3_add(SmB, S.m3_t(SmB))), D_w)
+
                 a_ang, a_lin = a_free[b]
                 a_lin_true = S.v3_add(a_lin, S.m3_tvec(R_b[b], (
                     base_pos[0] * 0.0, base_pos[0] * 0.0,
@@ -366,19 +400,16 @@ def physics_step_soa(
                 wdot_w = S.m3_vec(R_b[b], a_ang)
                 a_org_w = S.v3_add(S.m3_vec(R_b[b], a_lin_true),
                                    S.v3_cross(w_b[b], v_b[b]))
-                r_w = S.v3_sub(g_pos[g], p_b[b])
                 a_pt = S.v3_add(
                     S.v3_add(a_org_w, S.v3_cross(wdot_w, r_w)),
                     S.v3_cross(w_b[b], S.v3_cross(w_b[b], r_w)))
 
                 # TGS-style velocity constraint solve against lam_w[g]
                 # (see contact.contact_forces_implicit)
-                pg, n = g_pos[g], g_n[g]
-                rad = float(model.geom_radius[g])
                 depth = jnp.maximum(g_h[g] + rad - pg[2], 0.0)
-                in_c = (depth > 0.0).astype(pg[2].dtype)
-                v_pred = S.v3_add(g_vel[g], S.v3_scale(a_pt, dt))
-                v_n_now = S.v3_dot(g_vel[g], n)
+                in_c = g_in_c[g]
+                v_pred = S.v3_add(v_c, S.v3_scale(a_pt, dt))
+                v_n_now = S.v3_dot(v_c, n)
                 bias = jnp.minimum(sim_cfg.erp / dt * depth,
                                    sim_cfg.max_depenetration_velocity)
                 bounce = jnp.where(
@@ -386,7 +417,9 @@ def physics_step_soa(
                     -params.restitution * v_n_now, 0.0)
                 v_tgt_n = jnp.maximum(bias, bounce)
                 dv = S.v3_sub(S.v3_scale(n, v_tgt_n), v_pred)
-                f = S.m3_solve(lam_w[g], S.v3_scale(dv, 1.0 / dt))
+                split = jnp.maximum(n_active[b], 1.0)
+                lam_g = S.m3_scale(lam_w[g], split)
+                f = S.m3_solve(lam_g, S.v3_scale(dv, 1.0 / dt))
                 f_n = S.v3_dot(f, n)
                 f_t = S.v3_sub(f, S.v3_scale(n, f_n))
                 f_n = jnp.maximum(f_n, 0.0) * in_c
@@ -397,7 +430,7 @@ def physics_step_soa(
         else:
             g_force = [legacy_contact_force(g) for g in range(model.ng)]
 
-        f_ext = gather_f_ext(g_force)
+        f_ext = gather_f_ext(g_force, g_cp if apparent else None)
 
         if sub == 0:
             # contact report per report body (world frame)

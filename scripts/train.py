@@ -26,6 +26,12 @@ def main():
                     help="path to a train_state checkpoint to resume from")
     ap.add_argument("--entropy-coef", type=float, default=None,
                     help="override PPOArgs.entropy_coef")
+    ap.add_argument("--only-positive-rewards", type=int, default=None,
+                    choices=[0, 1], help="override cfg.rewards.only_positive_rewards")
+    ap.add_argument("--deterministic-spawn", action="store_true",
+                    help="reset exactly at the default pose with zero root "
+                         "velocity (the reference fork's literal "
+                         "_reset_dofs/_reset_root_states semantics)")
     ap.add_argument("--num-eval-envs", type=int, default=None)
     ap.add_argument("--terrain", default=None,
                     choices=["plane", "heightfield", "trimesh"],
@@ -67,6 +73,11 @@ def main():
         cfg.terrain.mesh_type = args.terrain
         if args.terrain == "plane":
             cfg.terrain.teleport_robots = False
+    if args.only_positive_rewards is not None:
+        cfg.rewards.only_positive_rewards = bool(args.only_positive_rewards)
+    if args.deterministic_spawn:
+        cfg.init_state.dof_init_range = [1.0, 1.0]
+        cfg.init_state.randomize_root_vel = False
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef

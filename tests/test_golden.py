@@ -1,7 +1,8 @@
 """Golden-trajectory smoke check (BASELINE config 1: '64 envs, fixed-seed
 step trajectory'): a fixed seed + zero actions must reproduce the same
-trajectory statistics bit-for-bit on CPU across code changes that do not
-intend to alter physics/env semantics.
+trajectory statistics on CPU (within float-accumulation tolerance:
+rtol 2e-4 / atol 2e-3) across code changes that do not intend to alter
+physics/env semantics.
 
 If a change INTENDS to alter semantics, regenerate via
 `python tests/test_golden.py regen`.
