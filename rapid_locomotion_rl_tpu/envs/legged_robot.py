@@ -238,21 +238,30 @@ class LeggedRobotEnv:
         from ..ops.limb_dynamics import layout_for
         impl = getattr(cfg.sim, "physics_impl", "auto")
         if impl == "auto":
-            impl = "soa" if jax.default_backend() != "cpu" else "aos"
-        if getattr(cfg.sim, "contact_model", "apparent") == "apparent":
-            impl = "aos"   # SoA port of the apparent-inertia solver pending
+            # KNOWN ISSUE (round 2): the SoA port of the apparent-inertia
+            # solver emits an HLO too large to compile in reasonable time
+            # (>35 min remote; the legacy SoA graph compiled fine). Until
+            # the graph is restructured (scan over geoms / Pallas), auto
+            # resolves to the AoS vmap path everywhere.
+            impl = "aos"
         use_soa = impl == "soa" and layout_for(self.model) is not None
         if use_soa:
             from ..ops.soa_physics import physics_step_soa
-            self._phys = functools.partial(
-                physics_step_soa, self.model, cfg.sim,
-                terrain=self.terrain_grid,
-                fixed_base=cfg.asset.fix_base_link)
+
+            def _phys(sim, tau, pp, imp):
+                return physics_step_soa(
+                    self.model, cfg.sim, sim, tau, pp,
+                    terrain=self.terrain_grid,
+                    fixed_base=cfg.asset.fix_base_link,
+                    implicit_damp=imp)
+            self._phys = _phys
         else:
-            self._phys = jax.vmap(functools.partial(
-                physics_step, self.model, cfg.sim,
+            self._phys = jax.vmap(lambda s, t, p, i: physics_step(
+                self.model, cfg.sim, s, t, p,
                 terrain=self.terrain_grid,
-                fixed_base=cfg.asset.fix_base_link))
+                fixed_base=cfg.asset.fix_base_link,
+                implicit_damp=i))
+        self._dt_sub = cfg.sim.dt / max(int(cfg.sim.num_substeps), 1)
 
     # ------------------------------------------------------------------
     def _make_noise_vec(self) -> np.ndarray:
@@ -596,11 +605,24 @@ class LeggedRobotEnv:
         target = state.joint_pos_target
         report = state.contact_report
 
+        # implicit-PD drive impedance (dynamics.aba joint_impedance): the
+        # TGS-like damping PhysX's implicitly-solved joint drives provide
+        ct = cfg.control.control_type
+        if ct == "P":
+            imp = (self.d_gains * state.dr.Kd_factors
+                   + self._dt_sub * self.p_gains * state.dr.Kp_factors
+                   ) * state.dr.motor_strengths
+        elif ct == "V":
+            imp = (self.p_gains + self.d_gains / cfg.sim.dt
+                   ) * state.dr.motor_strengths
+        else:
+            imp = jnp.zeros((N, self.num_dof))
+
         def decim_body(carry, _):
             sim, torques, target, report = carry
             torques, target = self._compute_torques(
                 actions, sim, state.dr, last_dof_vel=state.last_dof_vel)
-            out = self._phys(sim, torques, phys_params)
+            out = self._phys(sim, torques, phys_params, imp)
             return (out.state, torques, target, out.contact_report), None
 
         # unrolled on TPU (marginally better fusion); a real loop on CPU,

@@ -102,7 +102,8 @@ def aba(model, state: SimState, tau: jnp.ndarray,
         f_ext_body: Optional[jnp.ndarray], gravity: jnp.ndarray,
         payload: jnp.ndarray, com_offset: jnp.ndarray,
         fixed_base: bool = False,
-        return_body_accels: bool = False):
+        return_body_accels: bool = False,
+        joint_impedance: Optional[jnp.ndarray] = None):
     """Articulated-Body Algorithm: forward dynamics of the tree.
 
     Args:
@@ -114,6 +115,11 @@ def aba(model, state: SimState, tau: jnp.ndarray,
         _process_rigid_body_props legged_robot.py:562-568).
       com_offset: [3] base CoM override offset.
       fixed_base: static flag; True pins the base (fix_base_link).
+      joint_impedance: optional [nv] extra joint-space diagonal
+        dt*(Kd_eff + dt*Kp_eff) — the IMPLICIT integration of the PD
+        drive's dependence on the end-of-step state (the same damping a
+        TGS iteration gives PhysX's joint drives). tau must still carry
+        the drive torque evaluated at the step start.
 
     Returns:
       (qdd [nv], a0 [6]) — joint accelerations and the TRUE base spatial
@@ -179,7 +185,9 @@ def aba(model, state: SimState, tau: jnp.ndarray,
         j = i - 1
         Si = Ss[i]
         U[i] = IA[i] @ Si
-        d[i] = jnp.maximum(Si @ U[i] + jnp.asarray(model.dof_armature[j], f32),
+        d[i] = jnp.maximum(Si @ U[i] + jnp.asarray(model.dof_armature[j], f32)
+                           + (joint_impedance[j]
+                              if joint_impedance is not None else 0.0),
                            1e-9)
         u[i] = tau[j] - Si @ pA[i]
         par = int(model.parent[i])
@@ -265,7 +273,8 @@ def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
                         payload: jnp.ndarray, com_offset: jnp.ndarray,
                         fixed_base: bool = False,
                         base_split: float = 4.0,
-                        contact_arm_w=None) -> jnp.ndarray:
+                        contact_arm_w=None,
+                        joint_impedance=None) -> jnp.ndarray:
     """Per-geom 3x3 inverse apparent inertia (the diagonal of the Delassus
     operator) at every collision sphere, in world coordinates.
 
@@ -316,7 +325,9 @@ def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
         E = (E_tree @ _axis_rotmat(axis, state.q[j])).T
         Si = jnp.concatenate((axis, jnp.zeros(3, f32)))
         U = IA[i] @ Si
-        d = jnp.maximum(Si @ U + jnp.asarray(model.dof_armature[j], f32),
+        d = jnp.maximum(Si @ U + jnp.asarray(model.dof_armature[j], f32)
+                        + (joint_impedance[j]
+                           if joint_impedance is not None else 0.0),
                         1e-9)
         par = int(model.parent[i])
         Ia = IA[i] - jnp.outer(U, U) / d

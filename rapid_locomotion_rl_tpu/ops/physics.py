@@ -35,6 +35,7 @@ def physics_step(
     params: PhysParams,
     terrain: Optional[TerrainGrid],
     fixed_base: bool = False,
+    implicit_damp: Optional[jnp.ndarray] = None,   # [nv] dt-free Kd_eff
 ) -> StepOutput:
     """Advance a single robot by ``sim_cfg.dt`` total, using
     ``sim_cfg.num_substeps`` inner integration steps with the applied torque
@@ -56,6 +57,11 @@ def physics_step(
         aba_fn = lambda *a, **k: aba_limb(model, layout, *a[1:], **k)  # noqa: E731
     else:
         fk_fn, aba_fn = fk, aba
+
+    # implicit PD integration: the drive's dependence on the end-of-step
+    # state enters the joint-space diagonal as dt*(Kd_eff + dt*Kp_eff)
+    # (the caller passes Kd_eff + dt*Kp_eff; we scale by this substep's dt)
+    joint_imp = None if implicit_damp is None else dt * implicit_damp
 
     terrain_mu = terrain.static_friction if terrain is not None else 1.0
     report = None
@@ -97,11 +103,12 @@ def physics_step(
                 lam_inv = contact_inv_inertia(
                     model, state, frames, params.payload,
                     params.com_displacement, fixed_base=fixed_base,
-                    contact_arm_w=arm_w)
+                    contact_arm_w=arm_w, joint_impedance=joint_imp)
             qdd_f, a0_f, a_body = aba(
                 model, state, tau_total, None, gravity,
                 params.payload, params.com_displacement,
-                fixed_base=fixed_base, return_body_accels=True)
+                fixed_base=fixed_base, return_body_accels=True,
+                joint_impedance=joint_imp)
             a_pt = point_accels(model, frames, a_body, arm_w=arm_w)
             forces, report = contact_forces_implicit(
                 model, geom_pos, v_c, a_pt, lam_inv,
@@ -125,7 +132,9 @@ def physics_step(
 
         qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
                          params.payload, params.com_displacement,
-                         fixed_base=fixed_base)
+                         fixed_base=fixed_base,
+                         **({"joint_impedance": joint_imp}
+                            if aba_fn is aba else {}))
         state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
         # enforce the URDF per-DOF velocity limit, as IsaacGym does with
         # dof_props 'velocity' (legged_robot.py:509) — without this, free

@@ -48,6 +48,7 @@ def physics_step_soa(
     params: PhysParams,            # batched
     terrain: Optional[TerrainGrid],
     fixed_base: bool = False,
+    implicit_damp: Optional[jnp.ndarray] = None,   # [N,nv] Kd_eff+dt*Kp_eff
 ) -> StepOutput:
     layout = layout_for(model)
     assert layout is not None, "SoA path requires a limb-decomposable tree"
@@ -255,8 +256,10 @@ def physics_step_soa(
                 j = int(jidx[d, k])
                 Si = (axis_c[d][k], (0.0, 0.0, 0.0))
                 Ub = S.sm_vec(IA[b], Si)
-                db = jnp.maximum(S.sv_dot(Si, Ub)
-                                 + float(model.dof_armature[j]), 1e-9)
+                db = jnp.maximum(
+                    S.sv_dot(Si, Ub) + float(model.dof_armature[j])
+                    + (dt * implicit_damp[:, j]
+                       if implicit_damp is not None else 0.0), 1e-9)
                 U[b], dinv[b] = Ub, 1.0 / db
                 Ia = S.sm_add(IA[b],
                               S.sm_scale(S.sm_outer(Ub, Ub), -1.0 / db))

@@ -28,6 +28,9 @@ def main():
                     help="override PPOArgs.entropy_coef")
     ap.add_argument("--only-positive-rewards", type=int, default=None,
                     choices=[0, 1], help="override cfg.rewards.only_positive_rewards")
+    ap.add_argument("--physics-impl", default=None,
+                    choices=["auto", "soa", "aos"],
+                    help="override cfg.sim.physics_impl")
     ap.add_argument("--deterministic-spawn", action="store_true",
                     help="reset exactly at the default pose with zero root "
                          "velocity (the reference fork's literal "
@@ -78,6 +81,8 @@ def main():
     if args.deterministic_spawn:
         cfg.init_state.dof_init_range = [1.0, 1.0]
         cfg.init_state.randomize_root_vel = False
+    if args.physics_impl is not None:
+        cfg.sim.physics_impl = args.physics_impl
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef
