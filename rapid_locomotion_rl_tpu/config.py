@@ -341,7 +341,10 @@ class SimCfg:
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
-    num_substeps: int = 2
+    # reference physx runs ONE 5 ms step per control substep
+    # (legged_robot_config.py:239 substeps=1); the round-1 spring contact
+    # needed 2x2.5 ms, the round-2 constraint solver is stable at 1x5 ms
+    num_substeps: int = 1
     # batch isomorphic limb chains in the ABA (quadruped fast path)
     use_limb_batching: bool = True
     # physics implementation: "soa" (structure-of-arrays, fully elementwise

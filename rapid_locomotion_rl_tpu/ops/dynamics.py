@@ -370,6 +370,151 @@ def contact_inv_inertia(model, state: SimState, frames: BodyFrames,
     return jnp.stack(lam_inv)         # [ng,3,3]
 
 
+def articulated_sweeps(model, state: SimState, gravity: jnp.ndarray,
+                       payload: jnp.ndarray, com_offset: jnp.ndarray,
+                       fixed_base: bool = False,
+                       joint_impedance: Optional[jnp.ndarray] = None):
+    """Factor the ABA into its force-independent half (velocities, bias,
+    articulated-inertia backward sweep) plus a reusable bias solver, so one
+    physics substep shares ONE inertia sweep between the OSIM projection,
+    the free-dynamics pass and the final contact pass (the split aba/
+    contact_inv_inertia calls each redid it).
+
+    Returns (sweeps dict, solve) where solve(tau, f_ext_body,
+    return_body_accels) -> (qdd, a0_true[, a_body])."""
+    nb, nv = model.nb, model.nv
+    f32 = jnp.float32
+
+    base_mass = jnp.asarray(model.mass[0], f32) + payload
+    base_com = com_offset + jnp.asarray(model.com[0], f32)
+    base_inertia = jnp.asarray(model.inertia[0], f32) * (
+        base_mass / jnp.asarray(model.mass[0], f32))
+    I_body = [S.spatial_inertia(base_mass, base_com, base_inertia)]
+    for i in range(1, nb):
+        I_body.append(S.spatial_inertia(
+            jnp.asarray(model.mass[i], f32),
+            jnp.asarray(model.com[i], f32),
+            jnp.asarray(model.inertia[i], f32)))
+
+    R0 = Q.quat_to_rotmat(state.base_quat)
+    v0 = jnp.concatenate((R0.T @ state.base_ang_vel,
+                          R0.T @ state.base_lin_vel))
+    v = [v0]
+    c = [jnp.zeros(6, f32)]
+    Xup_E = [None]
+    Xup_r = [None]
+    Ss = [None]
+    for i in range(1, nb):
+        j = i - 1
+        E_tree = jnp.asarray(model.E_tree[j], f32)
+        p_tree = jnp.asarray(model.p_tree[j], f32)
+        axis = jnp.asarray(model.axis[j], f32)
+        E = (E_tree @ _axis_rotmat(axis, state.q[j])).T
+        Si = jnp.concatenate((axis, jnp.zeros(3, f32)))
+        par = int(model.parent[i])
+        vi = S.xform_motion(E, p_tree, v[par]) + Si * state.qd[j]
+        v.append(vi)
+        c.append(S.crm(vi, Si * state.qd[j]))
+        Xup_E.append(E)
+        Xup_r.append(p_tree)
+        Ss.append(Si)
+
+    pA_vel = [S.crf(v[i], I_body[i] @ v[i]) for i in range(nb)]
+
+    IA = list(I_body)
+    U = [None] * nb
+    d = [None] * nb
+    Ia_s = [None] * nb
+    for i in range(nb - 1, 0, -1):
+        j = i - 1
+        Si = Ss[i]
+        U[i] = IA[i] @ Si
+        d[i] = jnp.maximum(Si @ U[i] + jnp.asarray(model.dof_armature[j], f32)
+                           + (joint_impedance[j]
+                              if joint_impedance is not None else 0.0),
+                           1e-9)
+        Ia = IA[i] - jnp.outer(U[i], U[i]) / d[i]
+        Ia_s[i] = Ia
+        par = int(model.parent[i])
+        X = S.xmat_motion(Xup_E[i], Xup_r[i])
+        IA[par] = IA[par] + X.T @ Ia @ X
+
+    a_grav = jnp.concatenate((jnp.zeros(3, f32), R0.T @ gravity))
+
+    def solve(tau, f_ext_body, return_body_accels: bool = False):
+        pA = [pA_vel[i] - (f_ext_body[i] if f_ext_body is not None else 0.0)
+              for i in range(nb)]
+        u = [None] * nb
+        for i in range(nb - 1, 0, -1):
+            j = i - 1
+            u[i] = tau[j] - Ss[i] @ pA[i]
+            pa = pA[i] + Ia_s[i] @ c[i] + U[i] * (u[i] / d[i])
+            par = int(model.parent[i])
+            pA[par] = pA[par] + S.xform_force_to_parent(
+                Xup_E[i], Xup_r[i], pa)
+        if fixed_base:
+            a0_rel = -a_grav
+        else:
+            a0_rel = -S.solve_psd6(IA[0], pA[0])
+        a = [a0_rel]
+        qdd = [None] * nv
+        for i in range(1, nb):
+            j = i - 1
+            par = int(model.parent[i])
+            ap = S.xform_motion(Xup_E[i], Xup_r[i], a[par]) + c[i]
+            qdd[j] = (u[i] - U[i] @ ap) / d[i]
+            a.append(ap + Ss[i] * qdd[j])
+        a0_true = a0_rel + a_grav
+        if return_body_accels:
+            R_list = _body_rotations(model, state)
+            a_true = [a[i] + jnp.concatenate(
+                (jnp.zeros(3, f32), R_list[i].T @ gravity))
+                for i in range(nb)]
+            return jnp.stack(qdd), a0_true, jnp.stack(a_true)
+        return jnp.stack(qdd), a0_true
+
+    sweeps = dict(IA=IA, U=U, d=d, Xs=[None] + [
+        S.xmat_motion(Xup_E[i], Xup_r[i]) for i in range(1, nb)],
+        Ss=Ss)
+    return sweeps, solve
+
+
+def osim_from_sweeps(model, sweeps, frames: BodyFrames,
+                     contact_arm_w: jnp.ndarray,
+                     fixed_base: bool = False,
+                     base_split: float = 4.0) -> jnp.ndarray:
+    """Per-geom world 3x3 inverse apparent inertia from a completed
+    articulated-inertia sweep (see contact_inv_inertia for semantics)."""
+    nb = model.nb
+    f32 = jnp.float32
+    IA, U, d, Xs, Ss = (sweeps["IA"], sweeps["U"], sweeps["d"],
+                        sweeps["Xs"], sweeps["Ss"])
+    Phi = [None] * nb
+    if fixed_base:
+        Phi[0] = jnp.zeros((6, 6), f32)
+    else:
+        Phi[0] = base_split * inv_psd6(IA[0])
+    for i in range(1, nb):
+        par = int(model.parent[i])
+        M = Xs[i] @ Phi[par] @ Xs[i].T
+        P = jnp.eye(6, dtype=f32) - jnp.outer(Ss[i], U[i]) / d[i]
+        Phi[i] = jnp.outer(Ss[i], Ss[i]) / d[i] + P @ M @ P.T
+
+    if model.ng == 0:
+        return jnp.zeros((0, 3, 3), f32)
+    lam_inv = []
+    for g in range(model.ng):
+        b = int(model.geom_body[g])
+        R = frames.R[b]
+        r = contact_arm_w[g]
+        A_w = R @ Phi[b][:3, :3] @ R.T
+        B_w = R @ Phi[b][:3, 3:] @ R.T
+        D_w = R @ Phi[b][3:, 3:] @ R.T
+        Sm = -S.skew(r)
+        lam_inv.append(Sm @ A_w @ Sm.T + Sm @ B_w + B_w.T @ Sm.T + D_w)
+    return jnp.stack(lam_inv)
+
+
 class PhysParams(NamedTuple):
     """Per-env physical properties entering the dynamics (SURVEY.md N6)."""
     friction: jnp.ndarray          # [] robot shape friction coeff

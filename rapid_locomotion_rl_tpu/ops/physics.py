@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 from .contact import (TerrainGrid, contact_forces, contact_forces_implicit,
                       sample_terrain, spatial_forces_on_bodies)
-from .dynamics import (PhysParams, SimState, aba, contact_inv_inertia, fk,
+from .dynamics import (PhysParams, SimState, aba, articulated_sweeps, fk,
                        geom_world_positions, integrate, joint_limit_torque,
-                       point_accels)
+                       osim_from_sweeps, point_accels)
 
 
 class StepOutput(NamedTuple):
@@ -99,16 +99,17 @@ def physics_step(
             p_c = geom_pos - n_w * radius[:, None]
             arm_w = p_c - frames.p[gb]
             v_c = geom_vel + jnp.cross(frames.w[gb], p_c - geom_pos)
-            if lam_inv is None:   # q drifts ~nothing within one control step
-                lam_inv = contact_inv_inertia(
-                    model, state, frames, params.payload,
-                    params.com_displacement, fixed_base=fixed_base,
-                    contact_arm_w=arm_w, joint_impedance=joint_imp)
-            qdd_f, a0_f, a_body = aba(
-                model, state, tau_total, None, gravity,
-                params.payload, params.com_displacement,
-                fixed_base=fixed_base, return_body_accels=True,
+            # ONE articulated-inertia sweep shared by the OSIM projection,
+            # the free pass and the final pass
+            sweeps, solve = articulated_sweeps(
+                model, state, gravity, params.payload,
+                params.com_displacement, fixed_base=fixed_base,
                 joint_impedance=joint_imp)
+            if lam_inv is None:   # q drifts ~nothing within one control step
+                lam_inv = osim_from_sweeps(model, sweeps, frames, arm_w,
+                                           fixed_base=fixed_base)
+            qdd_f, a0_f, a_body = solve(tau_total, None,
+                                        return_body_accels=True)
             a_pt = point_accels(model, frames, a_body, arm_w=arm_w)
             forces, report = contact_forces_implicit(
                 model, geom_pos, v_c, a_pt, lam_inv,
@@ -130,11 +131,14 @@ def physics_step(
             f_ext = spatial_forces_on_bodies(model, frames, geom_pos,
                                              forces)
 
-        qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
-                         params.payload, params.com_displacement,
-                         fixed_base=fixed_base,
-                         **({"joint_impedance": joint_imp}
-                            if aba_fn is aba else {}))
+        if contact_model == "apparent":
+            qdd, a0 = solve(tau_total, f_ext)
+        else:
+            qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
+                             params.payload, params.com_displacement,
+                             fixed_base=fixed_base,
+                             **({"joint_impedance": joint_imp}
+                                if aba_fn is aba else {}))
         state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
         # enforce the URDF per-DOF velocity limit, as IsaacGym does with
         # dof_props 'velocity' (legged_robot.py:509) — without this, free
