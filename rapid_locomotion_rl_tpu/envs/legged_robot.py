@@ -238,12 +238,7 @@ class LeggedRobotEnv:
         from ..ops.limb_dynamics import layout_for
         impl = getattr(cfg.sim, "physics_impl", "auto")
         if impl == "auto":
-            # KNOWN ISSUE (round 2): the SoA port of the apparent-inertia
-            # solver emits an HLO too large to compile in reasonable time
-            # (>35 min remote; the legacy SoA graph compiled fine). Until
-            # the graph is restructured (scan over geoms / Pallas), auto
-            # resolves to the AoS vmap path everywhere.
-            impl = "aos"
+            impl = "soa" if jax.default_backend() != "cpu" else "aos"
         use_soa = impl == "soa" and layout_for(self.model) is not None
         if use_soa:
             from ..ops.soa_physics import physics_step_soa
