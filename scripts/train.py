@@ -28,6 +28,8 @@ def main():
                     help="override PPOArgs.entropy_coef")
     ap.add_argument("--only-positive-rewards", type=int, default=None,
                     choices=[0, 1], help="override cfg.rewards.only_positive_rewards")
+    ap.add_argument("--substeps", type=int, default=None,
+                    help="override cfg.sim.num_substeps")
     ap.add_argument("--physics-impl", default=None,
                     choices=["auto", "soa", "aos"],
                     help="override cfg.sim.physics_impl")
@@ -83,6 +85,8 @@ def main():
         cfg.init_state.randomize_root_vel = False
     if args.physics_impl is not None:
         cfg.sim.physics_impl = args.physics_impl
+    if args.substeps is not None:
+        cfg.sim.num_substeps = args.substeps
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef
