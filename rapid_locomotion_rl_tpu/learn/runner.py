@@ -197,6 +197,8 @@ class Runner:
 
     def _dump_curriculum(self, it: int):
         """curriculum/info.pkl dump (ppo/__init__.py:197-201)."""
+        if not hasattr(self.env_state, "curriculum"):
+            return   # HLP env state has no command curriculum
         c = jax.device_get(self.env_state.curriculum)
         self.logger.save_pkl(
             {"iteration": it,
