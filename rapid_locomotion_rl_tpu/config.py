@@ -341,10 +341,16 @@ class SimCfg:
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
-    # reference physx runs ONE 5 ms step per control substep
-    # (legged_robot_config.py:239 substeps=1); the round-1 spring contact
-    # needed 2x2.5 ms, the round-2 constraint solver is stable at 1x5 ms
-    num_substeps: int = 1
+    # The reference physx block runs ONE 5 ms step (substeps=1) — but with
+    # 4 TGS position iterations resolving the joint drives. Our single
+    # implicit-PD step at 5 ms over-damps the light calf (dt*omega ~ 1.4):
+    # the scripted-trot capability gate stops propelling and substeps=1
+    # training stalls lin-tracking at the standing level while 2 x 2.5 ms
+    # runs walk (tests/test_locomotion_capability.py, EXPERIMENTS.md §8).
+    num_substeps: int = 2
+    # implicit integration of the PD drive's state dependence (extra joint
+    # impedance dt*(Kd+dt*Kp) in the ABA diagonal); off = explicit drive
+    implicit_pd: bool = True
     # batch isomorphic limb chains in the ABA (quadruped fast path)
     use_limb_batching: bool = True
     # physics implementation: "soa" (structure-of-arrays, fully elementwise

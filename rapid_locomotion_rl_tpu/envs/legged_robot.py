@@ -603,7 +603,9 @@ class LeggedRobotEnv:
         # implicit-PD drive impedance (dynamics.aba joint_impedance): the
         # TGS-like damping PhysX's implicitly-solved joint drives provide
         ct = cfg.control.control_type
-        if ct == "P":
+        if not getattr(cfg.sim, "implicit_pd", True):
+            imp = jnp.zeros((N, self.num_dof))
+        elif ct == "P":
             imp = (self.d_gains * state.dr.Kd_factors
                    + self._dt_sub * self.p_gains * state.dr.Kp_factors
                    ) * state.dr.motor_strengths
