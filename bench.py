@@ -83,8 +83,36 @@ def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None):
     return steps / dt_total
 
 
+def _probe(q):
+    import jax
+    import jax.numpy as jnp
+    (jnp.ones((4, 4)) @ jnp.ones((4, 4))).block_until_ready()
+    q.put(jax.devices()[0].platform)
+
+
+def _preflight(log, timeout_s=180):
+    """Fail fast with a clear message if the TPU relay is unreachable
+    (the axon claim otherwise blocks indefinitely)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_probe, args=(q,))
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.kill()
+        log(f"[bench] TPU unreachable within {timeout_s}s (axon relay "
+            "down?) — aborting instead of hanging. Last measured: "
+            "118-132k env-steps/s SoA / 76k AoS at 4000 envs "
+            "(EXPERIMENTS.md §9).")
+        sys.exit(3)
+    log(f"[bench] device: {q.get()}")
+
+
 def main():
     log = lambda s: print(s, file=sys.stderr, flush=True)  # noqa: E731
+    _preflight(log)
     sweep = {}
     for n in (1024, 4000, 8192):
         try:
