@@ -96,6 +96,11 @@ class TerrainCfg:
     num_cols: int = 20
     terrain_proportions: List[float] = _f([0.1, 0.1, 0.35, 0.25, 0.2])
     slope_treshold: float = 0.75
+    # trimesh collision fidelity: steep faces become walls on a grid this
+    # many times finer than the raw heightfield (Terrain.as_collision_grid;
+    # matches the reference's slope-corrected trimesh upload,
+    # mini_gym/utils/terrain.py:36-40). 1 = collide the raw bilinear grid.
+    collision_upsample: int = 2
     difficulty_scale: float = 1.0
     x_init_range: float = 1.0
     y_init_range: float = 1.0
@@ -156,10 +161,18 @@ class InitStateCfg:
     ang_vel: List[float] = _f([0.0, 0.0, 0.0])
     default_joint_angles: Dict[str, float] = field(
         default_factory=lambda: {"joint_a": 0.0, "joint_b": 0.0})
-    # upstream reset randomization (legged_robot.py:704-706 upstream form,
-    # :736-737): dof_pos = default * U(lo, hi); root vel ~ U(-0.5, 0.5)
-    dof_init_range: List[float] = _f([0.5, 1.5])
-    randomize_root_vel: bool = True
+    # Reset randomization. The reference's COMMITTED reset code spawns the
+    # exact default pose with zero root velocity — both the legged_gym-style
+    # dof randomization (default * U(0.5,1.5)) and the +-0.5 root-velocity
+    # draw are commented out (reference legged_robot.py:702-706, :736-737).
+    # Round-2 shipped the upstream-randomized variant; survival forensics
+    # (scripts/diag_survival.py, EXPERIMENTS.md round 3) showed collapsed
+    # spawns on rough terrain die via thigh contact within ~1s even under
+    # ZERO actions, poisoning the early only-positive-clipped reward
+    # landscape. Defaults now match the fork's committed semantics; the
+    # knobs remain for A/B.
+    dof_init_range: List[float] = _f([1.0, 1.0])
+    randomize_root_vel: bool = False
 
 
 @dataclass
@@ -338,6 +351,15 @@ class SimCfg:
     erp: float = 0.2                            # depenetration bias factor
     max_depenetration_velocity: float = 1.0     # [m/s]
     bounce_threshold_velocity: float = 0.5      # [m/s]
+    # finite contact-patch torsional friction. PhysX collides the reference
+    # foot as the convex hull of the calf mesh, whose tip meets the ground
+    # as a multi-point PATCH — so spinning a stance foot about the contact
+    # normal costs traction. A single sphere is a point contact where yaw
+    # spin is frictionally FREE, which let the round-2 curriculum expand
+    # into the spin-circle corner instead of +vx (EXPERIMENTS.md §10).
+    # Spin torque is capped at mu * f_n * torsional_patch_radius
+    # (the moment arm of the patch). 0 disables.
+    torsional_patch_radius: float = 0.01
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
@@ -361,7 +383,12 @@ class SimCfg:
     # thousands of scalar [N] ops take minutes to compile under LLVM but
     # seconds under XLA:TPU; numerics match within float tolerance
     # (tests/test_soa_physics.py)
-    physics_impl: str = "auto"  # auto | soa | aos
+    # "pallas" runs the same SoA chain fused into one Pallas TPU kernel
+    # per env block (ops/pallas_physics.py): zero intermediate HBM traffic
+    # within a control step. Interpret-mode on CPU (correctness only).
+    physics_impl: str = "auto"  # auto | pallas | soa | aos
+    # envs per Pallas grid step = 128 * this (VMEM working-set knob)
+    pallas_block_sublanes: int = 4
 
 
 @dataclass

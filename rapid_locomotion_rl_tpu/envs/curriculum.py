@@ -104,10 +104,19 @@ def update(grid: CurriculumGrid, state: CurriculumState,
            lin_rewards: jnp.ndarray,     # [N] normalized tracking_lin reward
            ang_rewards: jnp.ndarray,     # [N]
            update_mask: jnp.ndarray,     # [N] bool: train envs being resampled
-           lin_threshold: float, ang_threshold: float) -> CurriculumState:
+           lin_threshold: float, ang_threshold: float,
+           lin_vel_raw=None,             # [N] mean body-frame vx this episode
+           ang_vel_raw=None,             # [N] mean yaw rate this episode
+           ep_duration=None) -> CurriculumState:
     """Reference update semantics (curriculum.py:110-119): success bins get
     +0.2 once (unique), plus +0.2 per success env over the L∞ stencil
-    (which includes the bin itself), all saturating at 1."""
+    (which includes the bin itself), all saturating at 1.
+
+    The raw-velocity/duration per-bin logs reproduce RewardThresholdCurriculum
+    .log (reference curriculum.py:121-124). NOTE: the reference never calls
+    .log from the training loop (its fields stay zero in the dumps); here they
+    are written on every curriculum update so the curriculum/info.pkl dump is
+    actually usable for expansion-direction forensics."""
     L = grid.num_bins
     success = update_mask & (lin_rewards > lin_threshold) & (ang_rewards > ang_threshold)
     hit = jnp.zeros(L, jnp.float32).at[env_bins].add(
@@ -146,11 +155,23 @@ def update(grid: CurriculumGrid, state: CurriculumState,
         return dst.at[jnp.where(update_mask, env_bins, L)].set(
             vals, mode="drop")
 
-    return state._replace(
+    state = state._replace(
         weights=weights,
         episode_reward_lin=scatter(state.episode_reward_lin, lin_rewards),
         episode_reward_ang=scatter(state.episode_reward_ang, ang_rewards),
     )
+    if lin_vel_raw is not None:
+        state = state._replace(
+            episode_lin_vel_raw=scatter(state.episode_lin_vel_raw,
+                                        lin_vel_raw))
+    if ang_vel_raw is not None:
+        state = state._replace(
+            episode_ang_vel_raw=scatter(state.episode_ang_vel_raw,
+                                        ang_vel_raw))
+    if ep_duration is not None:
+        state = state._replace(
+            episode_duration=scatter(state.episode_duration, ep_duration))
+    return state
 
 
 def sample(grid: CurriculumGrid, state: CurriculumState, key: jnp.ndarray,

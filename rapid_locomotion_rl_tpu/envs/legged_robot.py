@@ -188,10 +188,24 @@ class LeggedRobotEnv:
             self.terrain_grid: Optional[TerrainGrid] = self.terrain.as_grid(
                 cfg.terrain.static_friction, cfg.terrain.dynamic_friction,
                 cfg.terrain.restitution)
+            # contact collides the slope-corrected surface (trimesh parity:
+            # steep faces are walls, terrain.py:36-40); height sensing keeps
+            # the raw grid like the reference's heightsamples
+            if cfg.terrain.mesh_type == "trimesh":
+                self.collision_grid: Optional[TerrainGrid] = \
+                    self.terrain.as_collision_grid(
+                        cfg.terrain.static_friction,
+                        cfg.terrain.dynamic_friction,
+                        cfg.terrain.restitution,
+                        upsample=getattr(cfg.terrain, "collision_upsample", 1),
+                        slope_threshold=cfg.terrain.slope_treshold)
+            else:
+                self.collision_grid = self.terrain_grid
             self.terrain_origins = np.asarray(cfg.terrain.env_origins)  # [rows,cols,3]
         else:
             self.terrain = None
             self.terrain_grid = None
+            self.collision_grid = None
             self.terrain_origins = None
 
         # height-sensing points (legged_robot.py:1453-1467)
@@ -234,26 +248,42 @@ class LeggedRobotEnv:
         self.ang_vel_threshold = (cfg.commands.yaw_curriculum_threshold
                                   * self.reward_scales.get("tracking_ang_vel", 0.0))
 
-        # batched physics step: direct-batched SoA (fast path) or vmapped AoS
+        # batched physics step: fused Pallas kernel (TPU), direct-batched
+        # SoA (XLA fast path) or vmapped AoS (CPU: LLVM compiles the big
+        # SoA/Pallas traces in minutes, CLAUDE.md)
         from ..ops.limb_dynamics import layout_for
         impl = getattr(cfg.sim, "physics_impl", "auto")
         if impl == "auto":
             impl = "soa" if jax.default_backend() != "cpu" else "aos"
-        use_soa = impl == "soa" and layout_for(self.model) is not None
-        if use_soa:
+        if impl in ("soa", "pallas") and layout_for(self.model) is None:
+            impl = "aos"
+        if impl == "pallas":
+            from ..ops.pallas_physics import physics_step_pallas
+
+            def _phys(sim, tau, pp, imp):
+                return physics_step_pallas(
+                    self.model, cfg.sim, sim, tau, pp,
+                    terrain=self.collision_grid,
+                    fixed_base=cfg.asset.fix_base_link,
+                    implicit_damp=imp,
+                    block_sublanes=getattr(cfg.sim, "pallas_block_sublanes",
+                                           4),
+                    interpret=jax.default_backend() == "cpu")
+            self._phys = _phys
+        elif impl == "soa":
             from ..ops.soa_physics import physics_step_soa
 
             def _phys(sim, tau, pp, imp):
                 return physics_step_soa(
                     self.model, cfg.sim, sim, tau, pp,
-                    terrain=self.terrain_grid,
+                    terrain=self.collision_grid,
                     fixed_base=cfg.asset.fix_base_link,
                     implicit_damp=imp)
             self._phys = _phys
         else:
             self._phys = jax.vmap(lambda s, t, p, i: physics_step(
                 self.model, cfg.sim, s, t, p,
-                terrain=self.terrain_grid,
+                terrain=self.collision_grid,
                 fixed_base=cfg.asset.fix_base_link,
                 implicit_damp=i))
         self._dt_sub = cfg.sim.dt / max(int(cfg.sim.num_substeps), 1)
@@ -767,10 +797,14 @@ class LeggedRobotEnv:
         if cfg.commands.command_curriculum:
             lin_rew = command_sums["tracking_lin_vel"] / self.curr_ep_len
             ang_rew = command_sums["tracking_ang_vel"] / self.curr_ep_len
+            ts = jnp.maximum(command_sums["ep_timesteps"], 1.0)
             cstate = curr.update(
                 self.curriculum_grid, cstate, env_bins, lin_rew, ang_rew,
                 resample_mask & train_mask,
-                self.lin_vel_threshold, self.ang_vel_threshold)
+                self.lin_vel_threshold, self.ang_vel_threshold,
+                lin_vel_raw=command_sums["lin_vel_raw"] / ts,
+                ang_vel_raw=command_sums["ang_vel_raw"] / ts,
+                ep_duration=command_sums["ep_timesteps"])
             new_cmds, new_bins = curr.sample(
                 self.curriculum_grid, cstate, k_resample, N)
             new_cmds = self._zero_small_commands(new_cmds)

@@ -308,3 +308,49 @@ class Terrain:
             dynamic_friction=dynamic_friction,
             restitution=restitution,
         )
+
+    def as_collision_grid(self, static_friction: float,
+                          dynamic_friction: float, restitution: float,
+                          upsample: int, slope_threshold: float):
+        """Collision grid with the reference's slope-threshold WALL
+        correction (reference terrain_utils.convert_heightfield_to_trimesh
+        via mini_gym/utils/terrain.py:36-40): transitions steeper than
+        ``slope_threshold`` become (near-)vertical faces instead of the
+        bilinear ramps a raw height grid gives — on stairs, a bilinear grid
+        turns every riser into a climbable ramp.
+
+        Implemented as a ``upsample``x finer grid where steep cells hold the
+        LOW side's height through the interior (the wall lands at the high
+        vertex, exactly where the trimesh correction moves it); the residual
+        ramp is one fine cell (horizontal_scale/upsample) wide. Height
+        SENSING stays on the coarse raw grid (:meth:`as_grid`) — the
+        reference's `_get_heights` also reads the uncorrected heightsamples
+        (legged_robot.py:1469-1503)."""
+        from ..ops.contact import TerrainGrid
+        import jax.numpy as jnp
+        K = max(int(upsample), 1)
+        h = self.height_field_raw.astype(np.float32) * self.cfg.vertical_scale
+        if K > 1:
+            corr = slope_threshold * self.cfg.horizontal_scale
+
+            def up0(h):
+                a, b = h[:-1], h[1:]
+                steep = np.abs(b - a) > corr
+                lo = np.minimum(a, b)
+                R = h.shape[0]
+                out = np.empty(((R - 1) * K + 1,) + h.shape[1:], np.float32)
+                out[::K] = h
+                for k in range(1, K):
+                    t = k / K
+                    out[k::K] = np.where(steep, lo, a * (1 - t) + b * t)
+                return out
+
+            h = up0(up0(h).T).T
+        return TerrainGrid(
+            height=jnp.asarray(h, jnp.float32),
+            horizontal_scale=self.cfg.horizontal_scale / K,
+            border_size=self.cfg.border_size,
+            static_friction=static_friction,
+            dynamic_friction=dynamic_friction,
+            restitution=restitution,
+        )

@@ -59,6 +59,22 @@ class SlotCache:
                 mean[s] = (mean[s] * cnt[s] + val) / (cnt[s] + 1)
                 cnt[s] += 1
 
+    def log_sums(self, key: str, sums, counts):
+        """Merge PRE-aggregated per-slot (sum, count) arrays — the form the
+        jitted PPO update emits (learn/ppo.py sysid_residual per bin) —
+        vectorized instead of the per-sample loop of :meth:`log`."""
+        sums = np.asarray(sums, dtype=np.float64)
+        counts = np.asarray(counts, dtype=np.float64)
+        if key not in self.cache:
+            self.cache[key] = np.zeros(self.n)
+            self.counts[key] = np.zeros(self.n)
+        cnt = self.counts[key]
+        mean = self.cache[key]
+        tot = cnt + counts
+        nz = tot > 0
+        mean[nz] = (mean[nz] * cnt[nz] + sums[nz]) / tot[nz]
+        cnt[:] = tot
+
     def get_summary(self) -> Dict[str, np.ndarray]:
         out = {f"slot/{k}": v.copy() for k, v in self.cache.items()}
         for k in self.cache:

@@ -184,7 +184,7 @@ def compute_gae(traj: Transition, last_values, gamma: float, lam: float):
 # ---------------------------------------------------------------------------
 def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
                traj: Transition, advantages, returns, key,
-               num_train_envs: int
+               num_train_envs: int, num_curriculum_bins: int = 0
                ) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
     """5 epochs x 4 minibatches over the flattened train-env transitions
     (ppo.py:94-178). Multi-chip gradient reduction needs no explicit
@@ -206,6 +206,8 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
         values=flat(traj.values), log_prob=flat(traj.log_prob),
         mu=flat(traj.mu), sigma=flat(traj.sigma),
         adv=flat(advantages), ret=flat(returns))
+    if num_curriculum_bins > 0:
+        data["env_bins"] = flat(traj.env_bins)
 
     # advantage normalization over the whole batch (rollout_storage.py:90)
     a_mean = jnp.mean(data["adv"])
@@ -281,8 +283,22 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
         a_loss = jnp.asarray(0.0)
         n_adapt = (ppo_args.num_adaptation_module_substeps
                    if ac.args.use_latent else 0)
+        resid_sum = jnp.zeros(max(num_curriculum_bins, 1))
+        resid_cnt = jnp.zeros(max(num_curriculum_bins, 1))
         for _ in range(n_adapt):
             a_loss_i, a_grads = jax.value_and_grad(adapt_loss_fn)(params, mb)
+            if num_curriculum_bins > 0:
+                # per-curriculum-bin sysid residual (reference ppo.py:156-164
+                # SlotCache logging — with int32 bins, NOT the reference's
+                # uint8-truncated indices; EXPERIMENTS.md §10 addendum)
+                pred = ac.apply(params, mb["hist"],
+                                method=ActorCritic.student_latent)
+                target = ac.apply(params, mb["priv"],
+                                  method=ActorCritic.teacher_latent)
+                residual = jnp.linalg.norm(target - pred, axis=-1)
+                bins = mb["env_bins"].astype(jnp.int32)
+                resid_sum = resid_sum.at[bins].add(residual)
+                resid_cnt = resid_cnt.at[bins].add(1.0)
             a_updates, adapt_opt_state = adapt_tx.update(
                 a_grads, adapt_opt_state, params)
             params = optax.apply_updates(params, a_updates)
@@ -291,7 +307,9 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
 
         metrics = dict(value_loss=aux["value_loss"],
                        surrogate_loss=aux["surrogate_loss"],
-                       adaptation_loss=a_loss, kl=aux["kl"], lr=lr)
+                       adaptation_loss=a_loss, kl=aux["kl"], lr=lr,
+                       sysid_residual_sum=resid_sum,
+                       sysid_residual_count=resid_cnt)
         return (params, opt_state, adapt_opt_state, lr), metrics
 
     # epochs x minibatches flattened into one scan
@@ -300,9 +318,16 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
     carry, metrics = jax.lax.scan(minibatch_step, carry, idx_seq)
     params, opt_state, adapt_opt_state, lr = carry
 
+    resid_sum = metrics.pop("sysid_residual_sum")
+    resid_cnt = metrics.pop("sysid_residual_count")
     mean_metrics = {f"mean_{k}" if "loss" in k else k: jnp.mean(v)
                     for k, v in metrics.items()}
     mean_metrics["lr"] = lr
+    if num_curriculum_bins > 0:
+        # per-bin aggregates over all minibatches (consumed by the Runner's
+        # SlotCache -> curriculum/info.pkl; reference ppo/__init__.py:197-201)
+        mean_metrics["sysid_residual_sum"] = jnp.sum(resid_sum, axis=0)
+        mean_metrics["sysid_residual_count"] = jnp.sum(resid_cnt, axis=0)
     return PPOState(params, opt_state, adapt_opt_state, lr), mean_metrics
 
 
@@ -340,8 +365,12 @@ def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
                 _aggregate_rollout_metrics(traj, infos))
 
     def update(ppo_state: PPOState, traj, advantages, returns, key):
+        nbins = (env.curriculum_grid.num_bins
+                 if getattr(env, "curriculum_grid", None) is not None
+                 and ac.args.use_latent else 0)
         return ppo_update(ac, ppo_args, ppo_state, traj, advantages,
-                          returns, key, env.num_train_envs)
+                          returns, key, env.num_train_envs,
+                          num_curriculum_bins=nbins)
 
     return rollout_gae, update
 

@@ -24,6 +24,7 @@ from ..models.networks import ACArgs, ActorCritic
 from ..utils.checkpoint import (export_student_policy, load_pytree,
                                 save_pytree)
 from ..utils.logger import MetricsLogger
+from .caches import DataCaches
 from .ppo import PPOArgs, PPOState, init_ppo_state, make_train_iteration
 
 
@@ -33,7 +34,7 @@ class RunnerArgs:
     num_steps_per_env: int = 24
     max_iterations: int = 1500
     save_interval: int = 400
-    save_video_interval: int = 0   # 0 = off; reference default 100
+    save_video_interval: int = 100   # reference default (ppo/__init__.py:53)
     log_freq: int = 10
     resume: bool = False
     resume_path: Optional[str] = None
@@ -77,6 +78,11 @@ class Runner:
 
         self.tot_timesteps = 0
         self.current_learning_iteration = 0
+        # per-curriculum-bin stat caches (reference DataCaches,
+        # ppo/__init__.py:36-44, dumped to curriculum/info.pkl)
+        nbins = (env.curriculum_grid.num_bins
+                 if getattr(env, "curriculum_grid", None) is not None else 1)
+        self.caches = DataCaches(nbins)
 
         # parameters.json snapshot (parameters.pkl analogue, train.py:26-27)
         self.logger.log_params({
@@ -140,6 +146,13 @@ class Runner:
         m = {k: np.asarray(v) for k, v in
              jax.device_get(metrics).items()}
 
+        # per-bin sysid residual -> SlotCache (reference ppo.py:156-164 +
+        # ppo/__init__.py:153-172, int32 bins)
+        if "sysid_residual_sum" in m:
+            self.caches.slot_cache.log_sums(
+                "sysid_residual", m.pop("sysid_residual_sum"),
+                m.pop("sysid_residual_count"))
+
         # episode metrics: masked means over reset envs
         # (Runner.learn store_metrics, ppo/__init__.py:145-151)
         n_rt = float(m.pop("train_reset_count", 0.0))
@@ -196,15 +209,23 @@ class Runner:
             print(f"[runner] video skipped: {e}")
 
     def _dump_curriculum(self, it: int):
-        """curriculum/info.pkl dump (ppo/__init__.py:197-201)."""
+        """curriculum/info.pkl dump (ppo/__init__.py:197-201): SlotCache/
+        DistCache summaries plus the full per-bin curriculum logs (the
+        reference's dump is truncated to bins 0-255 by its uint8 bin-index
+        cast, ppo.py:161 — ours carries true int32 bins)."""
         if not hasattr(self.env_state, "curriculum"):
             return   # HLP env state has no command curriculum
         c = jax.device_get(self.env_state.curriculum)
         self.logger.save_pkl(
             {"iteration": it,
+             **self.caches.slot_cache.get_summary(),
+             **self.caches.dist_cache.get_summary(),
              "weights": np.asarray(c.weights),
              "episode_reward_lin": np.asarray(c.episode_reward_lin),
-             "episode_reward_ang": np.asarray(c.episode_reward_ang)},
+             "episode_reward_ang": np.asarray(c.episode_reward_ang),
+             "episode_lin_vel_raw": np.asarray(c.episode_lin_vel_raw),
+             "episode_ang_vel_raw": np.asarray(c.episode_ang_vel_raw),
+             "episode_duration": np.asarray(c.episode_duration)},
             path="curriculum/info.pkl", append=True)
 
     # ------------------------------------------------------------------

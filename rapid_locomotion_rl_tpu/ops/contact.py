@@ -177,7 +177,8 @@ def contact_forces(
 
 def solve33(M: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Batched 3x3 solve by cofactor expansion — elementwise ops only (no
-    pivoting loops; M is well-conditioned: I + dt*damping*Lam^-1)."""
+    pivoting loops; M here is the mass-split world inverse apparent inertia
+    Lam^-1, symmetric positive definite by construction)."""
     a00, a01, a02 = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
     a10, a11, a12 = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
     a20, a21, a22 = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
@@ -212,10 +213,12 @@ def contact_forces_implicit(
     erp: float,
     max_depenetration_velocity: float,
     bounce_threshold_velocity: float,
-    friction_vel_eps: float,
     dt: float,
     terrain_friction: float = 1.0,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    geom_omega: Optional[jnp.ndarray] = None,   # [ng,3] body angular vel (world)
+    ang_inv: Optional[jnp.ndarray] = None,      # [ng,3,3] angular inv. inertia
+    torsional_patch_radius: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Velocity-level constraint contact against the true articulated
     response (round-2 redesign; replaces both the m_eff=body-mass heuristic
     AND the penalty spring, whose ~100 Hz oscillation against the light
@@ -241,7 +244,16 @@ def contact_forces_implicit(
     slip and the driven push. Cross-contact Jacobi coupling is stabilized
     by mass-splitting in contact_inv_inertia.
 
-    Returns (forces [ng,3] world, report [nr,3] per report body).
+    When ``torsional_patch_radius > 0`` (and geom_omega/ang_inv are given),
+    a torsional friction torque about the contact normal models the finite
+    contact patch PhysX gets from colliding the foot's convex hull: the
+    spin-stiction impulse -ang_inertia * w_n / dt, clamped to the torsion
+    cone |tau_n| <= mu * f_n * patch_radius. Without it, yaw spin on a
+    point contact is frictionally free (the round-2 spin-circle curriculum
+    exploit, EXPERIMENTS.md §10).
+
+    Returns (forces [ng,3] world, report [nr,3] per report body,
+    torques [ng,3] world pure torques on the owning bodies).
     """
     z = geom_pos[..., 2]
     h, n = terrain_hn
@@ -282,8 +294,21 @@ def contact_forces_implicit(
              * in_contact)
     forces = n * f_n[..., None] + f_t * scale[..., None]
 
+    # torsional friction (contact patch): spin-stiction about the normal
+    if torsional_patch_radius > 0.0 and geom_omega is not None \
+            and ang_inv is not None:
+        ang_inv = ang_inv * split[..., None, None]   # same Jacobi split
+        w_n = jnp.sum(geom_omega * n, axis=-1)
+        r_ang = jnp.maximum(
+            jnp.einsum("gi,gij,gj->g", n, ang_inv, n), 1e-6)
+        tau_max = mu * f_n * torsional_patch_radius
+        tau_n = jnp.clip(-w_n / (dt * r_ang), -tau_max, tau_max)
+        torques = n * tau_n[..., None]
+    else:
+        torques = jnp.zeros_like(forces)
+
     report = jnp.einsum("rg,gc->rc", _report_onehot(model), forces)
-    return forces, report
+    return forces, report, torques
 
 
 def _report_onehot(model) -> jnp.ndarray:
@@ -301,13 +326,18 @@ def _body_onehot(model) -> jnp.ndarray:
 
 
 def spatial_forces_on_bodies(model, frames, geom_pos: jnp.ndarray,
-                             forces: jnp.ndarray) -> jnp.ndarray:
-    """Convert world-frame sphere forces to per-dynamics-body spatial forces
-    in each body's own frame ([torque-about-origin; force]) for the ABA."""
+                             forces: jnp.ndarray,
+                             torques_w: Optional[jnp.ndarray] = None
+                             ) -> jnp.ndarray:
+    """Convert world-frame sphere forces (plus optional pure torques, e.g.
+    torsional friction) to per-dynamics-body spatial forces in each body's
+    own frame ([torque-about-origin; force]) for the ABA."""
     gb = model.geom_body
     Rb = frames.R[gb]                        # [ng,3,3]
     arm = geom_pos - frames.p[gb]            # [ng,3]
     torque_w = jnp.cross(arm, forces)
+    if torques_w is not None:
+        torque_w = torque_w + torques_w
     n_b = jnp.einsum("gji,gj->gi", Rb, torque_w)  # R^T @ t
     f_b = jnp.einsum("gji,gj->gi", Rb, forces)
     f6 = jnp.concatenate((n_b, f_b), axis=-1)     # [ng,6]

@@ -482,9 +482,15 @@ def articulated_sweeps(model, state: SimState, gravity: jnp.ndarray,
 def osim_from_sweeps(model, sweeps, frames: BodyFrames,
                      contact_arm_w: jnp.ndarray,
                      fixed_base: bool = False,
-                     base_split: float = 4.0) -> jnp.ndarray:
+                     base_split: float = 4.0,
+                     return_ang: bool = False) -> jnp.ndarray:
     """Per-geom world 3x3 inverse apparent inertia from a completed
-    articulated-inertia sweep (see contact_inv_inertia for semantics)."""
+    articulated-inertia sweep (see contact_inv_inertia for semantics).
+
+    With ``return_ang=True`` additionally returns the per-geom world
+    ANGULAR inverse apparent inertia block A_w ([ng,3,3]): the body's
+    angular-velocity response to a pure torque (application-point
+    independent), used by the torsional-friction patch model."""
     nb = model.nb
     f32 = jnp.float32
     IA, U, d, Xs, Ss = (sweeps["IA"], sweeps["U"], sweeps["d"],
@@ -501,8 +507,10 @@ def osim_from_sweeps(model, sweeps, frames: BodyFrames,
         Phi[i] = jnp.outer(Ss[i], Ss[i]) / d[i] + P @ M @ P.T
 
     if model.ng == 0:
-        return jnp.zeros((0, 3, 3), f32)
+        z = jnp.zeros((0, 3, 3), f32)
+        return (z, z) if return_ang else z
     lam_inv = []
+    ang_inv = []
     for g in range(model.ng):
         b = int(model.geom_body[g])
         R = frames.R[b]
@@ -512,6 +520,9 @@ def osim_from_sweeps(model, sweeps, frames: BodyFrames,
         D_w = R @ Phi[b][3:, 3:] @ R.T
         Sm = -S.skew(r)
         lam_inv.append(Sm @ A_w @ Sm.T + Sm @ B_w + B_w.T @ Sm.T + D_w)
+        ang_inv.append(A_w)
+    if return_ang:
+        return jnp.stack(lam_inv), jnp.stack(ang_inv)
     return jnp.stack(lam_inv)
 
 

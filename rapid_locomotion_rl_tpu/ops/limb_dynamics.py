@@ -171,8 +171,11 @@ def fk_limb(model, layout: LimbLayout, state: SimState) -> BodyFrames:
 def aba_limb(model, layout: LimbLayout, state: SimState, tau: jnp.ndarray,
              f_ext_body: Optional[jnp.ndarray], gravity: jnp.ndarray,
              payload: jnp.ndarray, com_offset: jnp.ndarray,
-             fixed_base: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Limb-batched ABA; same contract as :func:`dynamics.aba`."""
+             fixed_base: bool = False,
+             joint_impedance: Optional[jnp.ndarray] = None
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Limb-batched ABA; same contract as :func:`dynamics.aba` (including
+    the implicit-PD ``joint_impedance`` diagonal term)."""
     pk = _pack(model, layout)
     f32 = jnp.float32
     D, K = layout.D, layout.K
@@ -180,6 +183,7 @@ def aba_limb(model, layout: LimbLayout, state: SimState, tau: jnp.ndarray,
     q_l = state.q[pk.jidx]
     qd_l = state.qd[pk.jidx]
     tau_l = tau[pk.jidx]
+    imp_l = None if joint_impedance is None else joint_impedance[pk.jidx]
 
     base_mass = jnp.asarray(model.mass[0], f32) + payload
     base_com = com_offset + jnp.asarray(model.com[0], f32)
@@ -220,7 +224,8 @@ def aba_limb(model, layout: LimbLayout, state: SimState, tau: jnp.ndarray,
     for d in range(D - 1, -1, -1):
         Si = Ss_l[d]
         U = jnp.einsum("kab,kb->ka", IA_lvl[d], Si)
-        dd = jnp.maximum(jnp.sum(Si * U, -1) + pk.armature[d], 1e-9)
+        dd = jnp.maximum(jnp.sum(Si * U, -1) + pk.armature[d]
+                         + (imp_l[d] if imp_l is not None else 0.0), 1e-9)
         uu = tau_l[d] - jnp.sum(Si * pA_lvl[d], -1)
         U_l[d], d_l[d], u_l[d] = U, dd, uu
         Ia = IA_lvl[d] - U[:, :, None] * U[:, None, :] / dd[:, None, None]

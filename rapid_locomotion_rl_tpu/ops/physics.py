@@ -106,20 +106,28 @@ def physics_step(
                 params.com_displacement, fixed_base=fixed_base,
                 joint_impedance=joint_imp)
             if lam_inv is None:   # q drifts ~nothing within one control step
-                lam_inv = osim_from_sweeps(model, sweeps, frames, arm_w,
-                                           fixed_base=fixed_base)
+                import numpy as _np
+                n_limbs = float(max(
+                    int(_np.sum(_np.asarray(model.parent) == 0)), 1))
+                lam_inv, ang_inv = osim_from_sweeps(
+                    model, sweeps, frames, arm_w,
+                    fixed_base=fixed_base, base_split=n_limbs,
+                    return_ang=True)
             qdd_f, a0_f, a_body = solve(tau_total, None,
                                         return_body_accels=True)
             a_pt = point_accels(model, frames, a_body, arm_w=arm_w)
-            forces, report = contact_forces_implicit(
+            forces, report, ctorques = contact_forces_implicit(
                 model, geom_pos, v_c, a_pt, lam_inv,
                 params.friction, params.restitution, terrain_hn,
                 erp=sim_cfg.erp,
                 max_depenetration_velocity=sim_cfg.max_depenetration_velocity,
                 bounce_threshold_velocity=sim_cfg.bounce_threshold_velocity,
-                friction_vel_eps=sim_cfg.friction_vel_eps,
-                dt=dt, terrain_friction=terrain_mu)
-            f_ext = spatial_forces_on_bodies(model, frames, p_c, forces)
+                dt=dt, terrain_friction=terrain_mu,
+                geom_omega=frames.w[gb], ang_inv=ang_inv,
+                torsional_patch_radius=getattr(
+                    sim_cfg, "torsional_patch_radius", 0.0))
+            f_ext = spatial_forces_on_bodies(model, frames, p_c, forces,
+                                             torques_w=ctorques)
         else:
             forces, report = contact_forces(
                 model, geom_pos, geom_vel,
@@ -137,8 +145,7 @@ def physics_step(
             qdd, a0 = aba_fn(model, state, tau_total, f_ext, gravity,
                              params.payload, params.com_displacement,
                              fixed_base=fixed_base,
-                             **({"joint_impedance": joint_imp}
-                                if aba_fn is aba else {}))
+                             joint_impedance=joint_imp)
         state = integrate(state, qdd, a0, dt, fixed_base=fixed_base)
         # enforce the URDF per-DOF velocity limit, as IsaacGym does with
         # dof_props 'velocity' (legged_robot.py:509) — without this, free

@@ -9,14 +9,20 @@ at trace time against the static model). XLA fuses the resulting chains
 into a handful of VPU kernels, where the AoS form emits hundreds of tiny
 kernels.
 
+The hot chain is factored into :func:`substep_chain`, a pure function from
+same-shaped component arrays to component arrays. The SAME trace runs
+under plain XLA on [N] vectors (:func:`physics_step_soa`) and inside a
+Pallas TPU kernel on (sublanes, 128) VMEM tiles
+(:mod:`.pallas_physics`) — terrain sampling (the only gather) happens
+outside, once per control step, exactly as before.
+
 Requires a limb layout (quadruped-class tree); semantics match
-``physics_step`` (tests/test_soa_physics.py). Terrain height/normals are
-sampled once per control step with the standard gather path.
+``physics_step`` (tests/test_soa_physics.py).
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +30,7 @@ import numpy as np
 from . import soa as S
 from .contact import TerrainGrid, terrain_height_and_normal
 from .dynamics import PhysParams, SimState
-from .limb_dynamics import LimbLayout, layout_for
+from .limb_dynamics import LimbLayout, layout_for, _np_spatial_inertia
 from .physics import StepOutput
 
 
@@ -40,18 +46,56 @@ def _const_v3(arr):
     return (float(arr[0]), float(arr[1]), float(arr[2]))
 
 
-def physics_step_soa(
-    model,
-    sim_cfg,
-    state: SimState,               # batched [N,...]
-    tau: jnp.ndarray,              # [N,nv]
-    params: PhysParams,            # batched
-    terrain: Optional[TerrainGrid],
-    fixed_base: bool = False,
-    implicit_damp: Optional[jnp.ndarray] = None,   # [N,nv] Kd_eff+dt*Kp_eff
-) -> StepOutput:
-    layout = layout_for(model)
-    assert layout is not None, "SoA path requires a limb-decomposable tree"
+def fk_geom_xy(model, layout: LimbLayout, base_pos, base_quat, q
+               ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Positions-only FK: world (x, y) of every collision geom — the
+    terrain-sampling coordinates for a control step (the gather that must
+    stay OUTSIDE the fused elementwise chain). Inputs are SoA components
+    (tuples / lists of same-shaped arrays)."""
+    D, K = layout.D, layout.K
+    jidx = layout.joint_index
+    R_b = [None] * model.nb
+    p_b = [None] * model.nb
+    R_b[0] = S.quat_to_m3(base_quat)
+    p_b[0] = base_pos
+    for d in range(D):
+        for k in range(K):
+            b = int(layout.body_index[d, k])
+            par = int(model.parent[b])
+            j = int(jidx[d, k])
+            Rj = S.m3_axis_angle(_const_v3(model.axis[j]), q[j])
+            Rpc = S.m3_mul(S.m3_from_array(model.E_tree[j]), Rj)
+            R_b[b] = S.m3_mul(R_b[par], Rpc)
+            p_b[b] = S.v3_add(S.m3_vec(R_b[par], _const_v3(model.p_tree[j])),
+                              p_b[par])
+    out = []
+    for g in range(model.ng):
+        b = int(model.geom_body[g])
+        off = _const_v3(model.geom_offset[g])
+        pg = S.v3_add(S.m3_vec(R_b[b], off), p_b[b])
+        out.append((pg[0], pg[1]))
+    return out
+
+
+def substep_chain(model, sim_cfg, layout: LimbLayout,
+                  comps: Dict, fixed_base: bool = False) -> Dict:
+    """``num_substeps`` physics substeps as one elementwise chain.
+
+    ``comps`` is a dict of SAME-SHAPED arrays (any shape: [N] vectors under
+    XLA, (sublanes, 128) tiles inside a Pallas kernel):
+
+    - ``base_pos``/``base_v``/``base_w``: v3 tuples; ``base_quat``: 4-tuple
+    - ``q``/``qd``/``tau``: lists of nv arrays
+    - ``payload``, ``restitution``, ``mu``: arrays; ``com_disp``: v3 tuple
+    - ``imp``: list of nv arrays (implicit-PD impedance Kd+dt*Kp) or None
+    - ``g_h``: list of ng arrays, ``g_n``: list of ng v3 tuples — terrain
+      height/normal under each geom, sampled ONCE at the entry state
+      (:func:`fk_geom_xy`); None => flat ground at z=0.
+
+    Returns the updated state components plus ``report`` (list of nr v3,
+    world contact force per report body at substep 0) and ``geom_pos``
+    (list of ng v3, world geom centers at substep 0).
+    """
     D, K = layout.D, layout.K
     nsub = max(int(sim_cfg.num_substeps), 1)
     dt = sim_cfg.dt / nsub
@@ -70,31 +114,36 @@ def physics_step_soa(
     for g in range(model.ng):
         geoms_of_body[int(model.geom_body[g])].append(g)
 
-    # state components
-    base_pos = _v3(state.base_pos)
-    base_quat = tuple(state.base_quat[:, i] for i in range(4))
-    base_v = _v3(state.base_lin_vel)
-    base_w = _v3(state.base_ang_vel)
-    q = [state.q[:, j] for j in range(model.nv)]
-    qd = [state.qd[:, j] for j in range(model.nv)]
+    base_pos = comps["base_pos"]
+    base_quat = comps["base_quat"]
+    base_v = comps["base_v"]
+    base_w = comps["base_w"]
+    q = list(comps["q"])
+    qd = list(comps["qd"])
+    tau = comps["tau"]
+    imp = comps.get("imp")
+    payload = comps["payload"]
+    com_disp = comps["com_disp"]
+    restitution = comps["restitution"]
+    mu = comps["mu"]
+    g_h_in = comps.get("g_h")
+    g_n_in = comps.get("g_n")
 
     report0 = None
     geom_pos_out = None
-    terrain_h = None      # per-geom (h, n) tuples, sampled once
-    terrain_n = None
     lam_w = None          # per-geom world 3x3 inverse apparent inertia
+    phi_w = None
 
     lim_lo = np.asarray(model.dof_lower)
     lim_hi = np.asarray(model.dof_upper)
     vel_lim = np.asarray(model.dof_velocity)
-    eff = np.asarray(model.dof_effort)
 
     apparent = getattr(sim_cfg, "contact_model", "apparent") == "apparent"
-    base_split = 4.0
+    # Jacobi mass split of the base between the limbs that can load it
+    # simultaneously (was a quadruped-only literal 4.0)
+    base_split = float(max(int(np.sum(np.asarray(model.parent) == 0)), 1))
 
-    zeta = jnp.clip(1.0 - params.restitution, 0.08, 1.0)
-    mu = 0.5 * (params.friction + (terrain.static_friction
-                                   if terrain is not None else 1.0))
+    zeta = jnp.clip(1.0 - restitution, 0.08, 1.0)
 
     for sub in range(nsub):
         # ---- FK (world frames per body, SoA) ---------------------------
@@ -135,15 +184,9 @@ def physics_step_soa(
                           S.v3_cross(w_b[b], S.v3_sub(pg, p_b[b])))
             g_pos[g] = pg
             g_vel[g] = vg
-            if sub == 0 and terrain is not None:
-                if terrain_h is None:
-                    terrain_h, terrain_n = [None] * model.ng, [None] * model.ng
-                h, n = terrain_height_and_normal(terrain, pg[0], pg[1])
-                terrain_h[g] = h
-                terrain_n[g] = (n[..., 0], n[..., 1], n[..., 2])
-            if terrain is not None:
-                g_h[g] = terrain_h[g]
-                g_n[g] = terrain_n[g]
+            if g_h_in is not None:
+                g_h[g] = g_h_in[g]
+                g_n[g] = g_n_in[g]
             else:
                 g_h[g] = pg[2] * 0.0
                 g_n[g] = (pg[2] * 0.0, pg[2] * 0.0, pg[2] * 0.0 + 1.0)
@@ -167,9 +210,10 @@ def physics_step_soa(
             ft_scale = -(c_t / (1.0 + c_t * dt / m_eff))
             return S.v3_add(S.v3_scale(n, f_n), S.v3_scale(v_t, ft_scale))
 
-        def gather_f_ext(g_force, g_app=None):
+        def gather_f_ext(g_force, g_app=None, g_torque=None):
             """world sphere forces (applied at g_app[g], default sphere
-            centers) -> per-body spatial force (own frame)."""
+            centers) plus optional pure torques -> per-body spatial force
+            (own frame)."""
             f_ext = [None] * model.nb
             for b in range(model.nb):
                 if not geoms_of_body[b]:
@@ -180,6 +224,8 @@ def physics_step_soa(
                     at = g_pos[g] if g_app is None else g_app[g]
                     arm = S.v3_sub(at, p_b[b])
                     tq = S.v3_cross(arm, g_force[g])
+                    if g_torque is not None and g_torque[g] is not None:
+                        tq = S.v3_add(tq, g_torque[g])
                     Fw = (g_force[g] if Fw is None
                           else S.v3_add(Fw, g_force[g]))
                     Nw = tq if Nw is None else S.v3_add(Nw, tq)
@@ -192,18 +238,18 @@ def physics_step_soa(
             below = jnp.minimum(q[j] - lim_lo[j], 0.0)
             above = jnp.maximum(q[j] - lim_hi[j], 0.0)
             viol = ((q[j] < lim_lo[j]) | (q[j] > lim_hi[j]))
-            t = (tau[:, j]
+            t = (tau[j]
                  - float(model.dof_damping[j]) * qd[j]
                  - sim_cfg.joint_friction * jnp.tanh(qd[j] / 0.1)
                  - 300.0 * (below + above) - 2.0 * qd[j] * viol)
             tau_t[j] = t
 
         # ---- ABA (limb form, SoA) ---------------------------------------
-        base_mass = float(model.mass[0]) + params.payload
+        base_mass = float(model.mass[0]) + payload
         com0 = _const_v3(model.com[0])
-        base_com = (params.com_displacement[:, 0] + com0[0],
-                    params.com_displacement[:, 1] + com0[1],
-                    params.com_displacement[:, 2] + com0[2])
+        base_com = (com_disp[0] + com0[0],
+                    com_disp[1] + com0[1],
+                    com_disp[2] + com0[2])
         scale = base_mass / float(model.mass[0])
         I0 = S.m3_from_array(np.asarray(model.inertia[0]))
         I0s = tuple(tuple(I0[i][j] * scale for j in range(3))
@@ -213,7 +259,6 @@ def physics_step_soa(
         for d in range(D):
             for k in range(K):
                 b = int(layout.body_index[d, k])
-                from .limb_dynamics import _np_spatial_inertia
                 M6 = _np_spatial_inertia(float(model.mass[b]),
                                          np.asarray(model.com[b]),
                                          np.asarray(model.inertia[b]))
@@ -258,8 +303,7 @@ def physics_step_soa(
                 Ub = S.sm_vec(IA[b], Si)
                 db = jnp.maximum(
                     S.sv_dot(Si, Ub) + float(model.dof_armature[j])
-                    + (dt * implicit_damp[:, j]
-                       if implicit_damp is not None else 0.0), 1e-9)
+                    + (dt * imp[j] if imp is not None else 0.0), 1e-9)
                 U[b], dinv[b] = Ub, 1.0 / db
                 Ia = S.sm_add(IA[b],
                               S.sm_scale(S.sm_outer(Ub, Ub), -1.0 / db))
@@ -374,6 +418,8 @@ def physics_step_soa(
                 n_active[b] = tot
             g_force = [None] * model.ng
             g_cp = [None] * model.ng
+            g_tq = [None] * model.ng
+            a_patch = float(getattr(sim_cfg, "torsional_patch_radius", 0.0))
             for g in range(model.ng):
                 b = int(model.geom_body[g])
                 pg, n = g_pos[g], g_n[g]
@@ -417,7 +463,7 @@ def physics_step_soa(
                                    sim_cfg.max_depenetration_velocity)
                 bounce = jnp.where(
                     v_n_now < -sim_cfg.bounce_threshold_velocity,
-                    -params.restitution * v_n_now, 0.0)
+                    -restitution * v_n_now, 0.0)
                 v_tgt_n = jnp.maximum(bias, bounce)
                 dv = S.v3_sub(S.v3_scale(n, v_tgt_n), v_pred)
                 split = jnp.maximum(n_active[b], 1.0)
@@ -430,10 +476,25 @@ def physics_step_soa(
                 scale = jnp.minimum(1.0, mu * f_n / (ft_norm + 1e-9)) * in_c
                 g_force[g] = S.v3_add(S.v3_scale(n, f_n),
                                       S.v3_scale(f_t, scale))
+
+                # torsional friction (contact patch; see
+                # contact.contact_forces_implicit): spin-stiction about the
+                # normal against the apparent angular inertia, clamped to
+                # the torsion cone mu * f_n * patch_radius
+                if a_patch > 0.0:
+                    A_w = phi_w[b][0]
+                    w_n = S.v3_dot(w_b[b], n)
+                    r_ang = jnp.maximum(
+                        S.v3_dot(n, S.m3_vec(A_w, n)) * split, 1e-6)
+                    tau_max = mu * f_n * a_patch
+                    tau_n = jnp.clip(-w_n / (dt * r_ang),
+                                     -tau_max, tau_max)
+                    g_tq[g] = S.v3_scale(n, tau_n)
         else:
             g_force = [legacy_contact_force(g) for g in range(model.ng)]
 
-        f_ext = gather_f_ext(g_force, g_cp if apparent else None)
+        f_ext = gather_f_ext(g_force, g_cp if apparent else None,
+                             g_tq if apparent else None)
 
         if sub == 0:
             # contact report per report body (world frame)
@@ -442,11 +503,10 @@ def physics_step_soa(
                 rb = int(model.geom_report_body[g])
                 rep[rb] = (g_force[g] if rep[rb] is None
                            else S.v3_add(rep[rb], g_force[g]))
-            zeros = state.base_pos[:, 0] * 0.0
-            report0 = jnp.stack(
-                [_stack_v3(r_) if r_ is not None
-                 else jnp.stack([zeros] * 3, -1) for r_ in rep], axis=1)
-            geom_pos_out = jnp.stack([_stack_v3(p) for p in g_pos], axis=1)
+            zeros = base_pos[0] * 0.0
+            report0 = [r_ if r_ is not None else (zeros, zeros, zeros)
+                       for r_ in rep]
+            geom_pos_out = list(g_pos)
 
         a0, _, qdd = bias_and_accels(f_ext)
         a_true0 = (a0[0], S.v3_add(a0[1], g_b))
@@ -464,14 +524,70 @@ def physics_step_soa(
             base_pos = S.v3_add(base_pos, S.v3_scale(base_v, dt))
             base_quat = S.quat_integrate(base_quat, base_w, dt)
         for j in range(model.nv):
-            qd[j] = jnp.clip(qd[j] + dt * qdd[j], -vel_lim[j], vel_lim[j])
+            qd[j] = jnp.clip(qd[j] + dt * qdd[j],
+                             -float(vel_lim[j]), float(vel_lim[j]))
             q[j] = q[j] + dt * qd[j]
 
+    return dict(base_pos=base_pos, base_quat=base_quat, base_v=base_v,
+                base_w=base_w, q=q, qd=qd,
+                report=report0, geom_pos=geom_pos_out)
+
+
+def physics_step_soa(
+    model,
+    sim_cfg,
+    state: SimState,               # batched [N,...]
+    tau: jnp.ndarray,              # [N,nv]
+    params: PhysParams,            # batched
+    terrain: Optional[TerrainGrid],
+    fixed_base: bool = False,
+    implicit_damp: Optional[jnp.ndarray] = None,   # [N,nv] Kd_eff+dt*Kp_eff
+) -> StepOutput:
+    layout = layout_for(model)
+    assert layout is not None, "SoA path requires a limb-decomposable tree"
+
+    base_pos = _v3(state.base_pos)
+    base_quat = tuple(state.base_quat[:, i] for i in range(4))
+    q = [state.q[:, j] for j in range(model.nv)]
+
+    comps = dict(
+        base_pos=base_pos,
+        base_quat=base_quat,
+        base_v=_v3(state.base_lin_vel),
+        base_w=_v3(state.base_ang_vel),
+        q=q,
+        qd=[state.qd[:, j] for j in range(model.nv)],
+        tau=[tau[:, j] for j in range(model.nv)],
+        imp=(None if implicit_damp is None
+             else [implicit_damp[:, j] for j in range(model.nv)]),
+        payload=params.payload,
+        com_disp=_v3(params.com_displacement),
+        restitution=params.restitution,
+        mu=0.5 * (params.friction + (terrain.static_friction
+                                     if terrain is not None else 1.0)),
+    )
+
+    if terrain is not None:
+        # terrain height/normal under every geom, sampled once per control
+        # step at the entry state (the only gather; q drift within one
+        # control step is negligible — same rule as lam_w)
+        g_h, g_n = [], []
+        for (x, y) in fk_geom_xy(model, layout, base_pos, base_quat, q):
+            h, n = terrain_height_and_normal(terrain, x, y)
+            g_h.append(h)
+            g_n.append((n[..., 0], n[..., 1], n[..., 2]))
+        comps["g_h"] = g_h
+        comps["g_n"] = g_n
+
+    out = substep_chain(model, sim_cfg, layout, comps, fixed_base=fixed_base)
+
     new_state = SimState(
-        base_pos=_stack_v3(base_pos),
-        base_quat=jnp.stack(base_quat, axis=-1),
-        base_lin_vel=_stack_v3(base_v),
-        base_ang_vel=_stack_v3(base_w),
-        q=jnp.stack(q, axis=-1),
-        qd=jnp.stack(qd, axis=-1))
+        base_pos=_stack_v3(out["base_pos"]),
+        base_quat=jnp.stack(out["base_quat"], axis=-1),
+        base_lin_vel=_stack_v3(out["base_v"]),
+        base_ang_vel=_stack_v3(out["base_w"]),
+        q=jnp.stack(out["q"], axis=-1),
+        qd=jnp.stack(out["qd"], axis=-1))
+    report0 = jnp.stack([_stack_v3(r_) for r_ in out["report"]], axis=1)
+    geom_pos_out = jnp.stack([_stack_v3(p) for p in out["geom_pos"]], axis=1)
     return StepOutput(new_state, report0, geom_pos_out)

@@ -30,6 +30,14 @@ def main():
                     choices=[0, 1], help="override cfg.rewards.only_positive_rewards")
     ap.add_argument("--substeps", type=int, default=None,
                     help="override cfg.sim.num_substeps")
+    ap.add_argument("--implicit-pd", type=int, default=None, choices=[0, 1],
+                    help="override cfg.sim.implicit_pd")
+    ap.add_argument("--torsional-patch-radius", type=float, default=None,
+                    help="override cfg.sim.torsional_patch_radius")
+    ap.add_argument("--randomized-spawn", action="store_true",
+                    help="legged_gym-style reset randomization (dof "
+                         "0.5-1.5x default, root vel ±0.5) — the round-2 "
+                         "default, kept for A/B")
     ap.add_argument("--physics-impl", default=None,
                     choices=["auto", "soa", "aos"],
                     help="override cfg.sim.physics_impl")
@@ -83,10 +91,17 @@ def main():
     if args.deterministic_spawn:
         cfg.init_state.dof_init_range = [1.0, 1.0]
         cfg.init_state.randomize_root_vel = False
+    if args.randomized_spawn:
+        cfg.init_state.dof_init_range = [0.5, 1.5]
+        cfg.init_state.randomize_root_vel = True
     if args.physics_impl is not None:
         cfg.sim.physics_impl = args.physics_impl
     if args.substeps is not None:
         cfg.sim.num_substeps = args.substeps
+    if args.implicit_pd is not None:
+        cfg.sim.implicit_pd = bool(args.implicit_pd)
+    if args.torsional_patch_radius is not None:
+        cfg.sim.torsional_patch_radius = args.torsional_patch_radius
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef
