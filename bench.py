@@ -16,7 +16,8 @@ import time
 import jax
 
 
-def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None):
+def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None,
+                physics_impl=None, block_sublanes=None):
     from rapid_locomotion_rl_tpu.config import config_mini_cheetah
     from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
     from rapid_locomotion_rl_tpu.learn.ppo import (PPOArgs, init_ppo_state,
@@ -25,6 +26,10 @@ def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None):
 
     cfg = config_mini_cheetah()
     cfg.env.num_envs = num_envs
+    if physics_impl is not None:
+        cfg.sim.physics_impl = physics_impl
+    if block_sublanes is not None:
+        cfg.sim.pallas_block_sublanes = block_sublanes
     env = LeggedRobotEnv(cfg)
     ac = ActorCritic(env.num_obs, env.num_privileged_obs,
                      env.num_obs_history, env.num_actions, ACArgs())
@@ -119,7 +124,26 @@ def main():
             sweep[n] = _bench_size(n, 24, log=log)
         except Exception as e:  # noqa: BLE001 - sweep sizes are best-effort
             log(f"[bench] {n} envs failed: {e}")
+    # Pallas fused-substep comparison at the flagship size (stderr detail;
+    # informs whether cfg.sim.physics_impl "auto" should pick it on TPU)
+    if jax.default_backend() not in ("cpu",):
+        for sub in (4, 8):
+            try:
+                v = _bench_size(4000, 24, log=log, physics_impl="pallas",
+                                block_sublanes=sub)
+                log(f"[bench] pallas(sublanes={sub}): {v:,.0f} env-steps/s")
+            except Exception as e:  # noqa: BLE001
+                log(f"[bench] pallas(sublanes={sub}) failed: {e}")
     flagship = sweep.get(4000)
+    if flagship is None and sweep:
+        # 4000-env run failed (e.g. OOM) but another size succeeded:
+        # report the largest working size rather than crash the JSON line
+        n = max(sweep)
+        log(f"[bench] 4000-env size unavailable; reporting {n}-env figure")
+        flagship = sweep[n]
+    if flagship is None:
+        log("[bench] every sweep size failed")
+        return 4
     baseline = 50_000.0  # BASELINE.md north-star (~45-50k env-steps/s, 1 GPU)
     print(json.dumps({
         "metric": "env_steps_per_sec",
