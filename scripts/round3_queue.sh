@@ -23,7 +23,14 @@ mark "=== round-3 queue start ==="
 #    includes the Pallas fused-kernel side-measurement
 mark "START bench"
 timeout 5400 python bench.py > BENCH_r03_self.json 2> bench_r03_self.log
-mark "END bench rc=$? $(cat BENCH_r03_self.json 2>/dev/null)"
+rc=$?
+mark "END bench rc=$rc $(cat BENCH_r03_self.json 2>/dev/null)"
+if [ "$rc" -eq 3 ] || [ "$rc" -eq 124 ]; then
+  # relay went down again (preflight abort / hang): bail out so the
+  # auto-launcher can re-arm the watcher instead of burning stage timeouts
+  mark "=== relay unreachable, queue aborted ==="
+  exit 3
+fi
 
 # 1. substeps x implicit-PD A/B at 400 iters (VERDICT item 4)
 run_train ab_s2_ipd1 400 --substeps 2 --implicit-pd 1
