@@ -60,6 +60,13 @@ EOF
 mark "flagship resumes from $WINNER"
 run_train flagship_r3 2500 --resume "$WINNER/checkpoints/train_state_last.pkl"
 
+# 3b. CPU post-analysis of the flagship (no TPU claim)
+mark "START flagship analysis"
+PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu timeout 600 \
+    python scripts/compare_baseline.py runs/flagship_r3 \
+    > runs/flagship_r3/baseline_compare.txt 2>&1
+mark "END flagship analysis rc=$?"
+
 # 4. Go1 at flagship scale (VERDICT item 6)
 run_train go1_r3 1500 --robot go1
 
