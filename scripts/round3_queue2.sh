@@ -38,12 +38,14 @@ done
 mark "bench process gone (left=$(left)s)"
 
 # 1. entropy A/B on round-3 physics (VERDICT items 1+2): ent001 is the
-#    reference value AND the flagship parity attempt. 1500 iters.
-run_train r3_ent001 1500 3000 --entropy-coef 0.01
+#    reference value AND the flagship parity attempt. 1200 iters covers
+#    the @990 parity marks; the 4000-env rollout jit is cached from the
+#    bench capture, only the entropy-0.01 update recompiles.
+run_train r3_ent001 1200 2400 --entropy-coef 0.01
 
-# 2. control arm: entropy 0.0, 1000 iters (parity marks are @990; the
-#    rollout jit is cached from stage 1 — only the update recompiles)
-run_train r3_ent000 1000 1900 --entropy-coef 0.0
+# 2. control arm: entropy 0.0, 700 iters (the round-2 death spiral hit
+#    at it ~780; matched-iteration comparison against stage 1)
+run_train r3_ent000 700 1500 --entropy-coef 0.0
 
 # 3. Go1 at scale (VERDICT item 6; new-signature compile)
 run_train go1_r3 1000 2400 --robot go1
