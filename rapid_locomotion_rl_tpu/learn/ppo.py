@@ -323,6 +323,12 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
     mean_metrics = {f"mean_{k}" if "loss" in k else k: jnp.mean(v)
                     for k, v in metrics.items()}
     mean_metrics["lr"] = lr
+    # Exploration-noise diagnostic: the learned std drives both failure
+    # modes seen in rounds 2-3 (ent=0.01 inflates it until the robot
+    # flails; ent=0 collapses it, which drags the adaptive-KL LR down
+    # as sigma^2 — EXPERIMENTS.md §13). Logged every iteration so a run's
+    # sigma trajectory is visible without exhuming checkpoints.
+    mean_metrics["mean_noise_std"] = jnp.mean(params["params"]["std"])
     if num_curriculum_bins > 0:
         # per-bin aggregates over all minibatches (consumed by the Runner's
         # SlotCache -> curriculum/info.pkl; reference ppo/__init__.py:197-201)
