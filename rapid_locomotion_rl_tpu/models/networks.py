@@ -39,6 +39,11 @@ class ACArgs:
         default_factory=lambda: [256, 128])
     env_factor_encoder_branch_latent_dims: int = 18
     use_latent: bool = True   # HLP copy gates all latent machinery off
+    # Exploration floor on the learned std (0.0 = off, reference parity).
+    # Under entropy_coef=0 the std collapses and drags the adaptive-KL LR
+    # down as sigma^2 (EXPERIMENTS.md §13); a floor of ~0.2 caps that
+    # ratchet without the entropy bonus's runaway failure mode.
+    min_std: float = 0.0
 
 
 def _activation(name: str):
@@ -117,7 +122,7 @@ class ActorCritic(nn.Module):
         """(mean, std) of the teacher policy (update_distribution,
         actor_critic.py:137-140)."""
         mean = self.act_teacher(obs, privileged_obs)
-        std = jnp.maximum(self.std, 1e-4)
+        std = jnp.maximum(self.std, max(1e-4, self.args.min_std))
         return mean, jnp.broadcast_to(std, mean.shape)
 
     def evaluate(self, obs, privileged_obs):

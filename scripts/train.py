@@ -26,6 +26,10 @@ def main():
                     help="path to a train_state checkpoint to resume from")
     ap.add_argument("--entropy-coef", type=float, default=None,
                     help="override PPOArgs.entropy_coef")
+    ap.add_argument("--min-std", type=float, default=None,
+                    help="exploration floor on the learned action std "
+                         "(0 = off; ~0.2 caps the sigma^2 adaptive-LR "
+                         "ratchet under entropy 0 — EXPERIMENTS.md §13)")
     ap.add_argument("--only-positive-rewards", type=int, default=None,
                     choices=[0, 1], help="override cfg.rewards.only_positive_rewards")
     ap.add_argument("--substeps", type=int, default=None,
@@ -105,6 +109,10 @@ def main():
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef
+    ac_args = None
+    if args.min_std is not None:
+        from rapid_locomotion_rl_tpu.models.networks import ACArgs
+        ac_args = ACArgs(min_std=args.min_std)
 
     if args.logdir is None:
         stamp = datetime.now().strftime("%Y-%m-%d/%H%M%S.%f")
@@ -112,7 +120,7 @@ def main():
 
     env = LeggedRobotEnv(cfg)
     runner = Runner(env, logdir=args.logdir, seed=args.seed,
-                    ppo_args=ppo_args,
+                    ac_args=ac_args, ppo_args=ppo_args,
                     runner_args=RunnerArgs(max_iterations=args.iterations,
                                            save_video_interval=400))
     if args.resume:

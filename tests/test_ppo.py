@@ -94,6 +94,23 @@ def test_actor_critic_shapes():
     assert 400_000 < n_params < 800_000, n_params
 
 
+def test_min_std_floor():
+    """ACArgs.min_std clamps the sampled-policy std from below (the
+    sigma^2 adaptive-LR ratchet guard, EXPERIMENTS.md §13); 0.0 keeps
+    reference semantics (clamp only at the 1e-4 numerical floor)."""
+    ac = ActorCritic(num_obs=8, num_privileged_obs=4, num_obs_history=16,
+                     num_actions=3, args=ACArgs(min_std=0.3))
+    params = ac.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)),
+                     jnp.zeros((2, 4)), jnp.zeros((2, 16)))
+    # force the learned std parameter below the floor
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, x: jnp.full_like(x, 0.05)
+        if p[-1].key == "std" else x, params)
+    _, std = ac.apply(params, jnp.zeros((2, 8)), jnp.zeros((2, 4)),
+                      method=ActorCritic.distribution)
+    np.testing.assert_allclose(np.asarray(std), 0.3)
+
+
 @pytest.mark.slow
 def test_train_iteration_runs():
     env = LeggedRobotEnv(tiny_cfg())
