@@ -23,3 +23,27 @@ import os
 RLTPU_ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache, shared by every entry point.
+
+    Training/bench signatures at flagship scale take minutes per compile
+    (remote-compiled TPU signatures observed at ~25-55 min); without a
+    persistent cache every process re-pays that for identical programs.
+    Respects an explicit JAX_COMPILATION_CACHE_DIR; opt out with
+    RLTPU_NO_COMPILATION_CACHE=1.
+    """
+    if os.environ.get("RLTPU_NO_COMPILATION_CACHE"):
+        return
+    import jax
+
+    if "JAX_COMPILATION_CACHE_DIR" not in os.environ:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(RLTPU_ROOT_DIR, ".jax_cache"))
+    # only cache compilations that are actually expensive
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+_setup_compilation_cache()
