@@ -207,6 +207,12 @@ class AssetCfg:
     max_linear_velocity: float = 1000.0
     armature: float = 0.0
     thickness: float = 0.01
+    # sphere decomposition of mesh collision shapes: "legacy" (round 1-3
+    # hand-measured) or "hull" (fitted to the collision-mesh convex hull
+    # PhysX actually collides — fixes the 3.4 cm leg-length overshoot and
+    # covers the knee clevis knob; EXPERIMENTS.md §14). Flip planned for
+    # round 4 after re-goldening.
+    mesh_sphere_fit: str = "legacy"
 
 
 @dataclass

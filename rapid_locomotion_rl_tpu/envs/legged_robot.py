@@ -130,8 +130,9 @@ class LeggedRobotEnv:
         self.dt = self.derived.dt
 
         asset_path = cfg.asset.file.format(ROOT=RLTPU_ROOT_DIR)
-        self.model: RobotModel = load_urdf(asset_path,
-                                           armature=cfg.asset.armature)
+        self.model: RobotModel = load_urdf(
+            asset_path, armature=cfg.asset.armature,
+            mesh_sphere_fit=cfg.asset.mesh_sphere_fit)
         m = self.model
         self.num_dof = m.nv
         self.num_actions = cfg.env.num_actions

@@ -159,11 +159,17 @@ def rollout(env, ac: ActorCritic, ppo_args: PPOArgs, params,
         # keep only scalar/summable metrics in the scanned info
         info = {k: v for k, v in res.info.items()
                 if k not in ("env_bins", "time_outs")}
-        return (new_env_state, key), (t, info)
+        # env-0 pose log for offline video rendering: ~22 floats/step
+        # piggybacked on the training rollout so videos never need a
+        # separate rollout (whose slightly-different jit signature cost a
+        # fresh multi-minute remote compile mid-run — EXPERIMENTS.md §15)
+        pose = (new_env_state.sim.base_pos[0], new_env_state.sim.base_quat[0],
+                new_env_state.sim.q[0], env_state.env_origins[0])
+        return (new_env_state, key), (t, info, pose)
 
-    (env_state, _), (traj, infos) = jax.lax.scan(
+    (env_state, _), (traj, infos, poses) = jax.lax.scan(
         step_fn, (env_state, key), None, length=num_steps)
-    return env_state, traj, infos
+    return env_state, traj, infos, poses
 
 
 def compute_gae(traj: Transition, last_values, gamma: float, lam: float):
@@ -359,7 +365,7 @@ def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
     by :func:`make_train_iteration`."""
 
     def rollout_gae(env_state, params, key):
-        env_state, traj, infos = rollout(
+        env_state, traj, infos, poses = rollout(
             env, ac, ppo_args, params, env_state, key,
             num_steps_per_env, eval_expert)
         last_values = ac.apply(params, env_state.obs,
@@ -367,8 +373,12 @@ def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
                                method=ActorCritic.evaluate)
         advantages, returns = compute_gae(
             traj, last_values, ppo_args.gamma, ppo_args.lam)
-        return (env_state, traj, advantages, returns,
-                _aggregate_rollout_metrics(traj, infos))
+        metrics = _aggregate_rollout_metrics(traj, infos)
+        # full [T,...] pose log under reserved keys the Runner pops into
+        # its host-side video ring buffer (never logged as scalars)
+        for name, arr in zip(("pos", "quat", "q", "origin"), poses):
+            metrics[f"_render/{name}"] = arr
+        return (env_state, traj, advantages, returns, metrics)
 
     def update(ppo_state: PPOState, traj, advantages, returns, key):
         nbins = (env.curriculum_grid.num_bins

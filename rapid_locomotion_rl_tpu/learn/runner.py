@@ -67,6 +67,10 @@ class Runner:
             k_net, self.ac, self.ppo_args, env.num_obs,
             env.num_privileged_obs, env.num_obs_history)
         self.env_state = env.initial_state(k_env)
+        # host-side ring buffer of env-0 poses (one [T,...] block per
+        # training rollout) consumed by _log_video
+        self._pose_buffer: list = []
+        self._video_window = 10
 
         # split pipeline: two jitted halves, device-resident in between
         self._train_iter = make_train_iteration(
@@ -128,11 +132,13 @@ class Runner:
                 self.env_state = self._reset_eval(self.env_state)
             if it % eval_freq == 0:
                 self._dump_curriculum(it)
+
+            self._log_iteration(it, metrics)
+
+            # after _log_iteration so iteration `it`'s poses are buffered
             if (self.args.save_video_interval
                     and it % self.args.save_video_interval == 0):
                 self._log_video(it)
-
-            self._log_iteration(it, metrics)
 
             if it > 0 and it % self.args.save_interval == 0:
                 self.save_checkpoint(it)
@@ -145,6 +151,15 @@ class Runner:
         logger = self.logger
         m = {k: np.asarray(v) for k, v in
              jax.device_get(metrics).items()}
+
+        # env-0 pose log piggybacked on the training rollout -> host ring
+        # buffer for offline video (no separate render rollout/compile)
+        pose_keys = [k for k in m if k.startswith("_render/")]
+        if pose_keys:
+            self._pose_buffer.append(tuple(
+                m.pop(f"_render/{n}") for n in ("pos", "quat", "q",
+                                                "origin")))
+            del self._pose_buffer[:-self._video_window]
 
         # per-bin sysid residual -> SlotCache (reference ppo.py:156-164 +
         # ppo/__init__.py:153-172, int32 bins)
@@ -192,13 +207,19 @@ class Runner:
                   f"lr {row.get('lr/mean', float('nan')):.2e}")
 
     def _log_video(self, it: int):
-        """Offline stick-figure video of the current student policy
-        (reference log_video, ppo/__init__.py:267-286)."""
+        """Offline stick-figure video of env 0 over the last
+        ~`_video_window` training rollouts (reference log_video,
+        ppo/__init__.py:267-286 renders a separate deterministic rollout;
+        here the poses ride the training rollout for free — a second
+        rollout's jit signature cost a fresh multi-minute remote compile
+        every video, EXPERIMENTS.md §15)."""
+        if not self._pose_buffer:
+            return
         try:
-            from ..utils.render import render_trajectory, rollout_states
-            pos, quat, q, origin = rollout_states(
-                self.env, self.ac, self.ppo_state.params, self.env_state,
-                steps=200)
+            from ..utils.render import render_trajectory
+            pos, quat, q, origin = (
+                np.concatenate([b[i] for b in self._pose_buffer])
+                for i in range(4))
             out = render_trajectory(
                 self.env.model, pos, quat, q, origin,
                 f"{self.logger.logdir}/videos/{it:05d}.gif",

@@ -45,6 +45,27 @@ _MESH_SPHERES: Dict[str, List[Tuple[Tuple[float, float, float], float]]] = {
                             ((0.0, 0.0, -0.105), 0.012)],
 }
 
+# Hull-accurate alternative (AssetCfg.mesh_sphere_fit="hull"): sphere chains
+# fitted to the actual collision mesh vertices, in the link frame (i.e. with
+# the URDF collision origin applied — mini_cheetah.urdf:176-181 mounts
+# mini_lower_link.obj with rpy="0 pi 0"). PhysX collides the convex hull of
+# this mesh, whose foot ball bottoms out at link z=-0.1933 — the legacy
+# table's tip sphere (bottom -0.2275) makes the leg 3.4 cm too long — and
+# whose knee end is a ~4.2 cm-wide clevis knob the legacy table leaves
+# uncovered (EXPERIMENTS.md §14).
+_MESH_SPHERES_HULL: Dict[str, List[Tuple[Tuple[float, float, float], float]]] = {
+    "mini_abad.obj": _MESH_SPHERES["mini_abad.obj"],
+    "mini_lower_link.obj": [
+        ((0.0, 0.0, -0.179), 0.014),   # foot ball (hull bottom -0.193)
+        ((0.0, 0.0, -0.145), 0.007),   # shin
+        ((0.0, 0.0, -0.100), 0.008),   # shin
+        ((0.0, 0.0, -0.055), 0.010),   # shin
+        ((0.0, 0.0, 0.000), 0.021),    # knee clevis knob
+    ],
+}
+
+_MESH_FITS = {"legacy": _MESH_SPHERES, "hull": _MESH_SPHERES_HULL}
+
 
 def _vec(s: Optional[str], default=(0.0, 0.0, 0.0)) -> np.ndarray:
     if s is None:
@@ -92,7 +113,11 @@ def _parse_inertial(link_el) -> Tuple[float, np.ndarray, np.ndarray]:
     return mass, com, I
 
 
-def _geom_spheres(col_el, link_name: str) -> List[Tuple[np.ndarray, float, str]]:
+def _geom_spheres(col_el, link_name: str,
+                  mesh_spheres: Dict[str, List[Tuple[Tuple[float, float,
+                                                           float], float]]]
+                  = _MESH_SPHERES
+                  ) -> List[Tuple[np.ndarray, float, str]]:
     org = col_el.find("origin")
     off = _vec(org.get("xyz") if org is not None else None)
     R = _rpy_to_mat(_vec(org.get("rpy") if org is not None else None))
@@ -148,8 +173,8 @@ def _geom_spheres(col_el, link_name: str) -> List[Tuple[np.ndarray, float, str]]
                 out.append((np.asarray(e), r, link_name))
         elif ge.tag == "mesh":
             base = os.path.basename(ge.get("filename", ""))
-            if base in _MESH_SPHERES:
-                for local, r in _MESH_SPHERES[base]:
+            if base in mesh_spheres:
+                for local, r in mesh_spheres[base]:
                     out.append((np.asarray(local, dtype=np.float64), r, link_name))
             else:
                 warnings.warn(f"urdf: no sphere decomposition for mesh {base!r}; skipped")
@@ -171,23 +196,27 @@ def _merge_inertia(m1, c1, I1, m2, c2, I2):
 
 
 def load_urdf(path: str, armature: float = 0.0,
-              base_link: Optional[str] = None) -> RobotModel:
+              base_link: Optional[str] = None,
+              mesh_sphere_fit: str = "legacy") -> RobotModel:
     """Parse a URDF into a :class:`RobotModel`.
 
     Args:
       path: URDF file path.
       armature: added rotor inertia per DOF (AssetOptions.armature analogue).
       base_link: root link override; default = the link that is nobody's child.
+      mesh_sphere_fit: "legacy" (round 1-3 hand-measured spheres) or "hull"
+        (chains fitted to the collision-mesh hull; EXPERIMENTS.md §14).
     """
     root = ET.parse(path).getroot()
     name = root.get("name", os.path.splitext(os.path.basename(path))[0])
+    mesh_spheres = _MESH_FITS[mesh_sphere_fit]
 
     links: Dict[str, _Link] = {}
     for lel in root.findall("link"):
         L = _Link(lel.get("name"))
         L.mass, L.com, L.inertia = _parse_inertial(lel)
         for cel in lel.findall("collision"):
-            L.spheres.extend(_geom_spheres(cel, L.name))
+            L.spheres.extend(_geom_spheres(cel, L.name, mesh_spheres))
         links[L.name] = L
 
     joints = []

@@ -98,3 +98,26 @@ def test_parent_ordering(mc, go1):
             assert m.parent[hip] == 0
             assert m.parent[thigh] == hip
             assert m.parent[calf] == thigh
+
+
+def test_mc_hull_sphere_fit():
+    """mesh_sphere_fit="hull": calf covered by a chain fitted to the
+    collision mesh PhysX hulls (mini_cheetah.urdf:176-181 mounts
+    mini_lower_link.obj with rpy="0 pi 0"): foot ball bottoms out at link
+    z=-0.193 (the legacy tip sphere overshoots to -0.2275) and the knee
+    clevis knob (~2.1 cm) is covered at the knee origin."""
+    m = load_urdf(MC_URDF, mesh_sphere_fit="hull")
+    calf_bodies = [i for i, n in enumerate(m.body_names) if "calf" in n]
+    assert len(calf_bodies) == 4
+    for b in calf_bodies:
+        geoms = np.where(m.geom_body == b)[0]
+        assert len(geoms) == 5
+        bottom = (m.geom_offset[geoms, 2] - m.geom_radius[geoms]).min()
+        np.testing.assert_allclose(bottom, -0.193, atol=1e-6)
+        # knee knob present at the link origin
+        at_knee = np.isclose(m.geom_offset[geoms, 2], 0.0)
+        assert m.geom_radius[geoms][at_knee].max() >= 0.02
+    # everything else identical to the legacy fit
+    legacy = load_urdf(MC_URDF)
+    assert m.ng == legacy.ng + 4 * 3
+    np.testing.assert_allclose(m.mass, legacy.mass)
