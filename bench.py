@@ -10,10 +10,13 @@ stderr so the driver's single-line contract holds.
 """
 
 import json
+import os
 import sys
 import time
 
 import jax
+
+_T_START = time.time()
 
 
 def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None,
@@ -53,11 +56,16 @@ def _bench_size(num_envs, steps_per_env, n_iter=20, log=lambda s: None,
 
     # warmup/compile: two iterations, so any signature change after the
     # first call (weak-type promotion) has also been compiled
+    t_warm = time.time()
     for _ in range(2):
         k3, k = jax.random.split(k3)
         env_state, ppo_state, traj, adv, ret, metrics = one_iter(
             env_state, ppo_state, k)
     jax.block_until_ready(metrics["kl"])
+    dt_warm = time.time() - t_warm
+    # a warm persistent .jax_cache makes this seconds; a miss is minutes
+    log(f"[bench] {num_envs} envs warmup+compile {dt_warm:.1f}s "
+        f"(compile cache {'HIT' if dt_warm < 120 else 'MISS'})")
 
     t0 = time.time()
     for _ in range(n_iter):
@@ -134,9 +142,17 @@ def main():
     # headline must not be hostage to the sweep's long tail. The
     # 4000-env signature is the one the training runs keep warm in the
     # compile cache.
+    sizes = tuple(int(s) for s in
+                  os.environ.get("BENCH_SIZES", "4000,1024,8192").split(","))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
     sweep = {}
     emitted = False
-    for n in (4000, 1024, 8192):
+    for n in sizes:
+        if emitted and time.time() - _T_START > budget_s:
+            log(f"[bench] budget {budget_s:.0f}s exhausted "
+                f"({time.time() - _T_START:.0f}s elapsed) — skipping "
+                f"{n}-env arm (headline already emitted)")
+            continue
         try:
             sweep[n] = _bench_size(n, 24, log=log)
         except Exception as e:  # noqa: BLE001 - sweep sizes are best-effort
@@ -156,14 +172,20 @@ def main():
         _emit(sweep[n])
     # Pallas fused-substep comparison at the flagship size (stderr detail;
     # informs whether cfg.sim.physics_impl "auto" should pick it on TPU)
-    if jax.default_backend() not in ("cpu",):
+    if (jax.default_backend() not in ("cpu",)
+            and os.environ.get("BENCH_PALLAS", "1") != "0"):
         for sub in (4, 8):
+            if time.time() - _T_START > budget_s:
+                log(f"[bench] budget exhausted — skipping "
+                    f"pallas(sublanes={sub}) arm")
+                continue
             try:
                 v = _bench_size(4000, 24, log=log, physics_impl="pallas",
                                 block_sublanes=sub)
                 log(f"[bench] pallas(sublanes={sub}): {v:,.0f} env-steps/s")
             except Exception as e:  # noqa: BLE001
                 log(f"[bench] pallas(sublanes={sub}) failed: {e}")
+    log(f"[bench] total wall time {time.time() - _T_START:.0f}s")
 
 
 if __name__ == "__main__":

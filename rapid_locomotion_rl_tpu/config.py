@@ -398,8 +398,26 @@ class SimCfg:
 
 
 @dataclass
+class WorldCfg:
+    """Per-env static obstacle boxes (reference mini_gym/envs/world/world.py:14-121).
+
+    The reference builds a 4-wall corridor of extra IsaacGym actors per env
+    (hooks commented out of its ctor, SURVEY.md §0); here the boxes are
+    analytic contact geometry the robot's collision spheres collide against
+    (envs/world.py). Opt-in for HLP navigation training.
+    """
+    enabled: bool = False
+    # corridor preset dims (reference world.py:46-60)
+    length: float = 3.5
+    width: float = 1.6
+    wall_height: float = 1.0
+    wall_thickness: float = 0.2
+
+
+@dataclass
 class Cfg:
     env: EnvCfg = field(default_factory=EnvCfg)
+    world: WorldCfg = field(default_factory=WorldCfg)
     terrain: TerrainCfg = field(default_factory=TerrainCfg)
     commands: CommandsCfg = field(default_factory=CommandsCfg)
     init_state: InitStateCfg = field(default_factory=InitStateCfg)

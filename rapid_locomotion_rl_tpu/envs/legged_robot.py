@@ -258,6 +258,28 @@ class LeggedRobotEnv:
             impl = "soa" if jax.default_backend() != "cpu" else "aos"
         if impl in ("soa", "pallas") and layout_for(self.model) is None:
             impl = "aos"
+        # world obstacles (reference mini_gym/envs/world/world.py:14-121):
+        # analytic per-env boxes wired into the AoS contact assembly
+        self.world_boxes = None
+        if cfg.world.enabled:
+            from .world import box_sphere_forces, default_corridor
+            self.world_boxes = default_corridor(
+                cfg.world.length, cfg.world.width, cfg.world.wall_height,
+                cfg.world.wall_thickness)
+            if impl != "aos":
+                print("world obstacles enabled: forcing physics_impl='aos'")
+                impl = "aos"
+            geom_radius = jnp.asarray(self.model.geom_radius, jnp.float32)
+
+            def _world_contact(origin, pos, vel, m_eff, dt,
+                               _boxes=self.world_boxes, _r=geom_radius):
+                return box_sphere_forces(
+                    _boxes, origin, pos, vel, _r, m_eff,
+                    stiffness=cfg.sim.contact_stiffness,
+                    damping=cfg.sim.contact_damping,
+                    friction=cfg.terrain.static_friction,
+                    friction_vel_eps=cfg.sim.friction_vel_eps, dt=dt)
+            self._world_contact = _world_contact
         if impl == "pallas":
             from ..ops.pallas_physics import physics_step_pallas
 
@@ -281,6 +303,13 @@ class LeggedRobotEnv:
                     fixed_base=cfg.asset.fix_base_link,
                     implicit_damp=imp)
             self._phys = _phys
+        elif self.world_boxes is not None:
+            self._phys = jax.vmap(lambda s, t, p, i, o: physics_step(
+                self.model, cfg.sim, s, t, p,
+                terrain=self.collision_grid,
+                fixed_base=cfg.asset.fix_base_link,
+                implicit_damp=i,
+                extra_contact=self._world_contact, env_origin=o))
         else:
             self._phys = jax.vmap(lambda s, t, p, i: physics_step(
                 self.model, cfg.sim, s, t, p,
@@ -650,7 +679,11 @@ class LeggedRobotEnv:
             sim, torques, target, report = carry
             torques, target = self._compute_torques(
                 actions, sim, state.dr, last_dof_vel=state.last_dof_vel)
-            out = self._phys(sim, torques, phys_params, imp)
+            if self.world_boxes is not None:
+                out = self._phys(sim, torques, phys_params, imp,
+                                 state.env_origins)
+            else:
+                out = self._phys(sim, torques, phys_params, imp)
             return (out.state, torques, target, out.contact_report), None
 
         # unrolled on TPU (marginally better fusion); a real loop on CPU,

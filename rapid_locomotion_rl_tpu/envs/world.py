@@ -26,20 +26,26 @@ class WorldBoxes(NamedTuple):
     half_extents: jnp.ndarray  # [nbox, 3]
 
 
-def default_corridor() -> WorldBoxes:
-    """The reference 4-wall corridor (world.py:46-60): two 3.5 x 0.2 x 1
-    side walls at y = ±0.8, two 0.2 x 1.8 x 1 end walls at x = ±1.85."""
+def default_corridor(length: float = 3.5, width: float = 1.6,
+                     wall_height: float = 1.0,
+                     wall_thickness: float = 0.2) -> WorldBoxes:
+    """The reference 4-wall corridor (world.py:46-60): two length x t x h
+    side walls at y = ±width/2, two end walls at x = ±(length + t)/2."""
+    hy = width / 2.0
+    hz = wall_height / 2.0
+    t = wall_thickness / 2.0
+    ex = (length + wall_thickness) / 2.0
     centers = np.array([
-        [0.0, -0.8, 0.5],
-        [0.0, 0.8, 0.5],
-        [1.85, 0.0, 0.5],
-        [-1.85, 0.0, 0.5],
+        [0.0, -hy, hz],
+        [0.0, hy, hz],
+        [ex, 0.0, hz],
+        [-ex, 0.0, hz],
     ])
     half = np.array([
-        [1.75, 0.1, 0.5],
-        [1.75, 0.1, 0.5],
-        [0.1, 0.9, 0.5],
-        [0.1, 0.9, 0.5],
+        [length / 2.0, t, hz],
+        [length / 2.0, t, hz],
+        [t, hy + t, hz],
+        [t, hy + t, hz],
     ])
     return WorldBoxes(centers=jnp.asarray(centers, jnp.float32),
                       half_extents=jnp.asarray(half, jnp.float32))

@@ -14,8 +14,9 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .contact import (TerrainGrid, contact_forces, contact_forces_implicit,
-                      sample_terrain, spatial_forces_on_bodies)
+from .contact import (TerrainGrid, _report_onehot, contact_forces,
+                      contact_forces_implicit, sample_terrain,
+                      spatial_forces_on_bodies)
 from .dynamics import (PhysParams, SimState, aba, articulated_sweeps, fk,
                        geom_world_positions, integrate, joint_limit_torque,
                        osim_from_sweeps, point_accels)
@@ -36,6 +37,8 @@ def physics_step(
     terrain: Optional[TerrainGrid],
     fixed_base: bool = False,
     implicit_damp: Optional[jnp.ndarray] = None,   # [nv] dt-free Kd_eff
+    extra_contact=None,           # (origin, pos, vel, m_eff, dt) -> [ng,3]
+    env_origin: Optional[jnp.ndarray] = None,      # [3] for extra_contact
 ) -> StepOutput:
     """Advance a single robot by ``sim_cfg.dt`` total, using
     ``sim_cfg.num_substeps`` inner integration steps with the applied torque
@@ -85,6 +88,15 @@ def physics_step(
             + joint_limit_torque(model, state.q, state.qd)
         )
 
+        # world obstacles (walls/boxes — envs/world.py, reference
+        # mini_gym/envs/world/world.py:14-121): penalty forces on the same
+        # collision spheres, applied at the sphere centers
+        f_world = None
+        if extra_contact is not None:
+            m_eff = jnp.asarray(model.mass[model.geom_body], jnp.float32)
+            f_world = extra_contact(env_origin, geom_pos, geom_vel,
+                                    m_eff, dt)
+
         if contact_model == "apparent":
             # round-2 solver: free dynamics -> implicit contact against the
             # true articulated point response -> final dynamics.
@@ -128,6 +140,11 @@ def physics_step(
                     sim_cfg, "torsional_patch_radius", 0.0))
             f_ext = spatial_forces_on_bodies(model, frames, p_c, forces,
                                              torques_w=ctorques)
+            if f_world is not None:
+                f_ext = f_ext + spatial_forces_on_bodies(
+                    model, frames, geom_pos, f_world)
+                report = report + jnp.einsum("rg,gc->rc",
+                                             _report_onehot(model), f_world)
         else:
             forces, report = contact_forces(
                 model, geom_pos, geom_vel,
@@ -136,6 +153,10 @@ def physics_step(
                 damping=sim_cfg.contact_damping,
                 friction_vel_eps=sim_cfg.friction_vel_eps,
                 dt=dt, terrain_friction=terrain_mu)
+            if f_world is not None:
+                forces = forces + f_world
+                report = report + jnp.einsum("rg,gc->rc",
+                                             _report_onehot(model), f_world)
             f_ext = spatial_forces_on_bodies(model, frames, geom_pos,
                                              forces)
 

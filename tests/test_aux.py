@@ -50,6 +50,52 @@ def test_world_box_forces():
     np.testing.assert_allclose(np.asarray(f2), 0.0, atol=1e-6)
 
 
+def test_world_corridor_blocks_robot():
+    """Integration: with cfg.world.enabled the corridor walls are real
+    contact geometry in the env step — a robot launched sideways at the
+    wall is stopped by it (y stays inside), the wall force shows up in the
+    contact report, and a contact termination is raised (reference
+    world.py:31-64 walls as actors; here wired through
+    ops/physics.py extra_contact)."""
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+
+    c = config_mini_cheetah()
+    c.env.num_envs = 2
+    c.terrain.mesh_type = "plane"
+    c.terrain.teleport_robots = False
+    c.noise.add_noise = False
+    c.domain_rand.push_robots = False
+    for f in ("randomize_friction", "randomize_base_mass",
+              "randomize_com_displacement", "randomize_motor_strength",
+              "randomize_Kp_factor", "randomize_Kd_factor",
+              "randomize_restitution"):
+        setattr(c.domain_rand, f, False)
+    c.commands.command_curriculum = False
+    c.init_state.dof_init_range = [1.0, 1.0]
+    c.init_state.randomize_root_vel = False
+    c.env.auto_reset = False         # HLP low-level mode: report, don't reset
+    c.world.enabled = True
+    env = LeggedRobotEnv(c)
+    assert env.world_boxes is not None
+
+    state = env.initial_state(jax.random.PRNGKey(0))
+    # launch both robots at the +y side wall (hy = width/2 = 0.8 m)
+    sim = state.sim
+    state = state._replace(sim=sim._replace(
+        base_lin_vel=sim.base_lin_vel.at[:, 1].set(3.0)))
+    step = jax.jit(env.step)
+    hit = False
+    for _ in range(40):              # 0.8 s
+        state, res = step(state, jnp.zeros((2, 12)))
+        hit = hit or bool(jnp.any(res.done))
+    y_rel = np.asarray(state.sim.base_pos[:, 1] - state.env_origins[:, 1])
+    assert np.all(np.isfinite(np.asarray(state.sim.base_pos)))
+    # the wall inner face is at y=0.7; allow the base to lean into it a bit
+    assert np.all(y_rel < 1.0), f"robot passed through the wall: y={y_rel}"
+    assert hit, "wall contact should raise a contact termination"
+
+
 def test_mjcf_go1():
     from rapid_locomotion_rl_tpu.models.mjcf import load_mjcf
     m = load_mjcf(f"{RLTPU_ROOT_DIR}/resources/robots/go1/xml/go1.xml")
