@@ -223,7 +223,8 @@ class Runner:
             out = render_trajectory(
                 self.env.model, pos, quat, q, origin,
                 f"{self.logger.logdir}/videos/{it:05d}.gif",
-                stride=4, title=f"iter {it}")
+                stride=4, title=f"iter {it}",
+                terrain=getattr(self.env, "terrain_grid", None))
             if out:
                 print(f"video -> {out}")
         except Exception as e:  # noqa: BLE001 - video is best-effort

@@ -45,7 +45,7 @@ def rollout_states(env, ac, params, env_state, steps: int = 250,
 
 
 def _fk_lines(model, base_pos, base_quat, q):
-    """Host-side FK -> list of line segments (one per joint link)."""
+    """Host-side FK -> (link line segments, collision-sphere centers+radii)."""
     import jax.numpy as jnp
 
     from ..ops.dynamics import SimState, fk
@@ -59,20 +59,44 @@ def _fk_lines(model, base_pos, base_quat, q):
     segs = []
     for i in range(1, model.nb):
         segs.append((p[int(model.parent[i])], p[i]))
-    # foot extensions: draw to the lowest geom of each body
+    # collision spheres (what actually touches the terrain)
     R = np.asarray(frames.R)
+    spheres = []
     for g in range(model.ng):
         b = int(model.geom_body[g])
-        tip = p[b] + R[b] @ np.asarray(model.geom_offset[g])
+        c = p[b] + R[b] @ np.asarray(model.geom_offset[g])
+        spheres.append((c, float(model.geom_radius[g])))
         if np.asarray(model.geom_offset[g])[2] < -0.15:
-            segs.append((p[b], tip))
-    return segs
+            segs.append((p[b], c))
+    return segs, spheres
+
+
+def _terrain_patch(terrain, cx, cy, half=0.8, max_pts=24):
+    """Local terrain surface around (cx, cy) from a TerrainGrid
+    (world x,y -> grid via (x + border)/scale, ops/contact.py:23-34)."""
+    h = np.asarray(terrain.height)
+    s = float(terrain.horizontal_scale)
+    b = float(terrain.border_size)
+    i0 = int(np.clip(np.floor((cx - half + b) / s), 0, h.shape[0] - 2))
+    i1 = int(np.clip(np.ceil((cx + half + b) / s), i0 + 1, h.shape[0] - 1))
+    j0 = int(np.clip(np.floor((cy - half + b) / s), 0, h.shape[1] - 2))
+    j1 = int(np.clip(np.ceil((cy + half + b) / s), j0 + 1, h.shape[1] - 1))
+    step = max(1, (i1 - i0) // max_pts, (j1 - j0) // max_pts)
+    ii = np.arange(i0, i1 + 1, step)
+    jj = np.arange(j0, j1 + 1, step)
+    X = ii[:, None] * s - b + np.zeros_like(jj)[None, :]
+    Y = np.zeros_like(ii)[:, None] + jj[None, :] * s - b
+    return X, Y, h[np.ix_(ii, jj)]
 
 
 def render_trajectory(model, pos, quat, q, origin, out_path: str,
                       fps: int = 25, stride: int = 2,
-                      title: Optional[str] = None) -> Optional[str]:
-    """Render a stick-figure GIF of the logged trajectory."""
+                      title: Optional[str] = None,
+                      terrain=None) -> Optional[str]:
+    """Render a camera-style GIF of the logged trajectory: stick-figure
+    robot, its collision spheres, and (when a TerrainGrid is given) the
+    local terrain surface in frame — the parity artifact for the
+    reference's camera frames (legged_robot.py:1332-1355)."""
     try:
         import matplotlib
         matplotlib.use("Agg")
@@ -90,16 +114,26 @@ def render_trajectory(model, pos, quat, q, origin, out_path: str,
     def draw(k):
         ax.cla()
         i = idx[k]
-        segs = _fk_lines(model, pos[i], quat[i], q[i])
+        segs, spheres = _fk_lines(model, pos[i], quat[i], q[i])
+        c = pos[i]
+        z0 = origin[i][2] if origin.ndim > 1 else 0.0
+        if terrain is not None:
+            X, Y, Z = _terrain_patch(terrain, float(c[0]), float(c[1]))
+            ax.plot_surface(X, Y, Z, alpha=0.35, cmap="terrain",
+                            linewidth=0, antialiased=False)
+            z0 = float(np.min(Z))
         for a, b in segs:
             ax.plot([a[0], b[0]], [a[1], b[1]], [a[2], b[2]],
                     "-", color="tab:blue", lw=2)
-        c = pos[i]
+        if spheres:
+            sc = np.asarray([s[0] for s in spheres])
+            sr = np.asarray([s[1] for s in spheres])
+            ax.scatter(sc[:, 0], sc[:, 1], sc[:, 2],
+                       s=(sr * 250) ** 1.5, color="tab:orange", alpha=0.7)
         ax.scatter(*c, color="tab:red", s=25)
         ax.set_xlim(c[0] - 0.6, c[0] + 0.6)
         ax.set_ylim(c[1] - 0.6, c[1] + 0.6)
-        ax.set_zlim(origin[i][2] if origin.ndim > 1 else 0.0,
-                    (origin[i][2] if origin.ndim > 1 else 0.0) + 0.8)
+        ax.set_zlim(z0, z0 + 0.8)
         if title:
             ax.set_title(title)
 

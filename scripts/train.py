@@ -38,6 +38,11 @@ def main():
                     help="override cfg.sim.implicit_pd")
     ap.add_argument("--torsional-patch-radius", type=float, default=None,
                     help="override cfg.sim.torsional_patch_radius")
+    ap.add_argument("--mesh-sphere-fit", default=None,
+                    choices=["legacy", "hull"],
+                    help="override cfg.asset.mesh_sphere_fit (hull = calf "
+                         "sphere chain fitted to the collision-mesh hull, "
+                         "EXPERIMENTS.md §14)")
     ap.add_argument("--randomized-spawn", action="store_true",
                     help="legged_gym-style reset randomization (dof "
                          "0.5-1.5x default, root vel ±0.5) — the round-2 "
@@ -106,6 +111,8 @@ def main():
         cfg.sim.implicit_pd = bool(args.implicit_pd)
     if args.torsional_patch_radius is not None:
         cfg.sim.torsional_patch_radius = args.torsional_patch_radius
+    if args.mesh_sphere_fit is not None:
+        cfg.asset.mesh_sphere_fit = args.mesh_sphere_fit
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef

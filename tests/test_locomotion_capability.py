@@ -23,7 +23,7 @@ from rapid_locomotion_rl_tpu.utils.checkpoint import load_pytree
 
 CKPT = "runs/ab7_ent0_fixedphys2/checkpoints/ac_weights_last.pkl"
 # round-3 flagship (trained on torsion physics); directional gate below
-CKPT_R3 = "runs/flagship_r3/checkpoints/ac_weights_last.pkl"
+CKPT_R3 = "runs/r3_flagship/checkpoints/ac_weights_last.pkl"
 
 
 def _clean_cfg(num_envs=8):
