@@ -143,6 +143,7 @@ def test_spin_decays_faster_with_torsion(model, impl):
 # implicit-PD impedance parity between AoS (limb-batched legacy) and SoA
 # (ADVICE round-2: aba_limb silently dropped joint_impedance)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_soa_matches_aos_with_impedance(model):
     from tests.test_soa_physics import batched_state, rand_params
     n = 8
