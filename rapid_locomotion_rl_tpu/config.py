@@ -366,6 +366,19 @@ class SimCfg:
     # Spin torque is capped at mu * f_n * torsional_patch_radius
     # (the moment arm of the patch). 0 disables.
     torsional_patch_radius: float = 0.01
+    # Jacobi base-mobility split of the contact solve: each contact sees
+    # the base 1/split as mobile so that `split` simultaneous contacts
+    # cannot jointly overshoot. 0 = auto (number of limbs). Round-4
+    # forensics: with split=4 a single-pass solve under-applies stiction
+    # impulse ~4x and stance feet SLIDE 0.2-0.4 m/s — the reference's own
+    # PhysX-trained policy cannot walk here (scripts/diag_propulsion.py,
+    # EXPERIMENTS.md §18). PhysX's TGS survives its splitting by ITERATING;
+    # contact_iterations below is our equivalent.
+    contact_base_split: float = 0.0
+    # velocity-iteration count of the contact solve (TGS-style): impulses
+    # are re-solved against velocities updated by the previous pass, so
+    # stiction converges even with conservative Jacobi splitting
+    contact_iterations: int = 1
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
     # physics integration sub-steps per gym-style 0.005 s step
@@ -393,8 +406,10 @@ class SimCfg:
     # per env block (ops/pallas_physics.py): zero intermediate HBM traffic
     # within a control step. Interpret-mode on CPU (correctness only).
     physics_impl: str = "auto"  # auto | pallas | soa | aos
-    # envs per Pallas grid step = 128 * this (VMEM working-set knob)
-    pallas_block_sublanes: int = 4
+    # envs per Pallas grid step = 128 * this (VMEM working-set knob).
+    # Must be a multiple of 8 (TPU sublane tiling): 4 fails to lower
+    # ("last two dims divisible by (8, 128)"), 8 measured fastest.
+    pallas_block_sublanes: int = 8
 
 
 @dataclass

@@ -255,7 +255,10 @@ class LeggedRobotEnv:
         from ..ops.limb_dynamics import layout_for
         impl = getattr(cfg.sim, "physics_impl", "auto")
         if impl == "auto":
-            impl = "soa" if jax.default_backend() != "cpu" else "aos"
+            # TPU: fused Pallas substep kernel (127k vs 116k SoA env-steps/s
+            # at the 4000-env flagship, round-4 bench); CPU: AoS (LLVM takes
+            # minutes on the big SoA/Pallas traces, CLAUDE.md)
+            impl = "pallas" if jax.default_backend() != "cpu" else "aos"
         if impl in ("soa", "pallas") and layout_for(self.model) is None:
             impl = "aos"
         # world obstacles (reference mini_gym/envs/world/world.py:14-121):

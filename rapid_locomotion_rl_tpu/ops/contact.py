@@ -218,6 +218,10 @@ def contact_forces_implicit(
     geom_omega: Optional[jnp.ndarray] = None,   # [ng,3] body angular vel (world)
     ang_inv: Optional[jnp.ndarray] = None,      # [ng,3,3] angular inv. inertia
     torsional_patch_radius: float = 0.0,
+    iterations: int = 1,
+    lam_inv_true: Optional[jnp.ndarray] = None,  # [ng,3,3] UNSPLIT response
+    phi0_w: Optional[jnp.ndarray] = None,        # [6,6] base mobility (world)
+    arm_base: Optional[jnp.ndarray] = None,      # [ng,3] p_c - base origin
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Velocity-level constraint contact against the true articulated
     response (round-2 redesign; replaces both the m_eff=body-mass heuristic

@@ -121,9 +121,11 @@ def physics_step(
                 import numpy as _np
                 n_limbs = float(max(
                     int(_np.sum(_np.asarray(model.parent) == 0)), 1))
+                base_split = (float(getattr(sim_cfg, "contact_base_split",
+                                            0.0)) or n_limbs)
                 lam_inv, ang_inv = osim_from_sweeps(
                     model, sweeps, frames, arm_w,
-                    fixed_base=fixed_base, base_split=n_limbs,
+                    fixed_base=fixed_base, base_split=base_split,
                     return_ang=True)
             qdd_f, a0_f, a_body = solve(tau_total, None,
                                         return_body_accels=True)

@@ -24,14 +24,19 @@ def main(logdir="runs/r3_flagship", steps=250, settle=100):
 
     env, ac, params = load_env(logdir, num_envs=4)
     state0 = env.initial_state(jax.random.PRNGKey(0))
+    use_teacher = os.environ.get("PROBE_TEACHER", "0") == "1"
 
     @jax.jit
     def rollout(state, cmd):
         def body(state, i):
             state = state._replace(
                 commands=state.commands.at[:, :3].set(cmd))
-            actions = ac.apply(params, state.obs, state.obs_history,
-                               method=ActorCritic.act_student)
+            if use_teacher:
+                actions = ac.apply(params, state.obs, state.privileged_obs,
+                                   method=ActorCritic.act_teacher)
+            else:
+                actions = ac.apply(params, state.obs, state.obs_history,
+                                   method=ActorCritic.act_student)
             state, res = env.step(state, actions)
             v_body = Q.quat_rotate_inverse(state.sim.base_quat,
                                            state.sim.base_lin_vel)

@@ -67,6 +67,19 @@ def main():
     cfg.domain_rand.randomize_Kp_factor = False
     cfg.domain_rand.randomize_Kd_factor = False
     cfg.commands.command_curriculum = False
+    import os as _os
+    if _os.environ.get("SIM2SIM_BASE_SPLIT"):
+        cfg.sim.contact_base_split = float(_os.environ["SIM2SIM_BASE_SPLIT"])
+        print(f"contact_base_split={cfg.sim.contact_base_split}")
+    if _os.environ.get("SIM2SIM_ITERS"):
+        cfg.sim.contact_iterations = int(_os.environ["SIM2SIM_ITERS"])
+        print(f"contact_iterations={cfg.sim.contact_iterations}")
+    if _os.environ.get("SIM2SIM_FIT"):
+        cfg.asset.mesh_sphere_fit = _os.environ["SIM2SIM_FIT"]
+        print(f"mesh_sphere_fit={cfg.asset.mesh_sphere_fit}")
+    if _os.environ.get("SIM2SIM_PATCH"):
+        cfg.sim.torsional_patch_radius = float(_os.environ["SIM2SIM_PATCH"])
+        print(f"torsional_patch_radius={cfg.sim.torsional_patch_radius}")
     env = LeggedRobotEnv(cfg)
 
     ac = ActorCritic(env.num_obs, env.num_privileged_obs,
@@ -88,12 +101,22 @@ def main():
         .at[:, 2].set(0.0)
     state = state._replace(commands=commands)
 
+    import os
+    use_teacher = os.environ.get("SIM2SIM_TEACHER", "0") == "1"
+    if use_teacher:
+        print("policy path: act_teacher (true privileged obs; bypasses "
+              "the obs-history/adaptation layout)")
+
     @jax.jit
     def run(state):
         def step(carry, _):
             st = carry
-            a = ac.apply(params, st.obs, st.obs_history,
-                         method=ActorCritic.act_student)
+            if use_teacher:
+                a = ac.apply(params, st.obs, st.privileged_obs,
+                             method=ActorCritic.act_teacher)
+            else:
+                a = ac.apply(params, st.obs, st.obs_history,
+                             method=ActorCritic.act_student)
             st, res = env.step(st, a)
             st = st._replace(commands=commands)
             return st, dict(vx=st.sim.base_lin_vel[:, 0],
