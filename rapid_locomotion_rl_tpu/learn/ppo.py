@@ -163,8 +163,12 @@ def rollout(env, ac: ActorCritic, ppo_args: PPOArgs, params,
         # piggybacked on the training rollout so videos never need a
         # separate rollout (whose slightly-different jit signature cost a
         # fresh multi-minute remote compile mid-run — EXPERIMENTS.md §15)
-        pose = (new_env_state.sim.base_pos[0], new_env_state.sim.base_quat[0],
-                new_env_state.sim.q[0], env_state.env_origins[0])
+        if hasattr(new_env_state, "sim"):
+            pose = (new_env_state.sim.base_pos[0],
+                    new_env_state.sim.base_quat[0],
+                    new_env_state.sim.q[0], env_state.env_origins[0])
+        else:  # e.g. HLPState: no low-level sim state to render
+            pose = ()
         return (new_env_state, key), (t, info, pose)
 
     (env_state, _), (traj, infos, poses) = jax.lax.scan(

@@ -50,6 +50,15 @@ def main(cmd_vx=1.0):
               "randomize_restitution"):
         setattr(cfg.domain_rand, f, False)
     cfg.commands.command_curriculum = False
+    if os.environ.get("DIAG_BASE_SPLIT"):
+        cfg.sim.contact_base_split = float(os.environ["DIAG_BASE_SPLIT"])
+        print(f"contact_base_split={cfg.sim.contact_base_split}")
+    if os.environ.get("DIAG_ITERS"):
+        cfg.sim.contact_iterations = int(os.environ["DIAG_ITERS"])
+        print(f"contact_iterations={cfg.sim.contact_iterations}")
+    if os.environ.get("DIAG_FIT"):
+        cfg.asset.mesh_sphere_fit = os.environ["DIAG_FIT"]
+        print(f"mesh_sphere_fit={cfg.asset.mesh_sphere_fit}")
     env = LeggedRobotEnv(cfg)
     m = env.model
 
