@@ -170,21 +170,21 @@ def main():
         n = max(sweep)
         log(f"[bench] 4000-env size unavailable; reporting {n}-env figure")
         _emit(sweep[n])
-    # Pallas fused-substep comparison at the flagship size (stderr detail;
-    # informs whether cfg.sim.physics_impl "auto" should pick it on TPU)
+    # SoA XLA-path comparison at the flagship size (stderr detail; "auto"
+    # picks the fused Pallas substep kernel on TPU since round 4 — this
+    # arm tracks what the pure-XLA path would do so regressions in either
+    # stay visible). sublanes=4 is a known TPU lowering failure (last two
+    # block dims must tile (8,128)) — not re-measured.
     if (jax.default_backend() not in ("cpu",)
             and os.environ.get("BENCH_PALLAS", "1") != "0"):
-        for sub in (4, 8):
-            if time.time() - _T_START > budget_s:
-                log(f"[bench] budget exhausted — skipping "
-                    f"pallas(sublanes={sub}) arm")
-                continue
+        if time.time() - _T_START > budget_s:
+            log("[bench] budget exhausted — skipping soa comparison arm")
+        else:
             try:
-                v = _bench_size(4000, 24, log=log, physics_impl="pallas",
-                                block_sublanes=sub)
-                log(f"[bench] pallas(sublanes={sub}): {v:,.0f} env-steps/s")
+                v = _bench_size(4000, 24, log=log, physics_impl="soa")
+                log(f"[bench] soa(xla): {v:,.0f} env-steps/s")
             except Exception as e:  # noqa: BLE001
-                log(f"[bench] pallas(sublanes={sub}) failed: {e}")
+                log(f"[bench] soa(xla) failed: {e}")
     log(f"[bench] total wall time {time.time() - _T_START:.0f}s")
 
 

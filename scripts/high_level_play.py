@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--ll-run", default=None,
                     help="low-level run dir (default: latest under runs/)")
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--resume", default=None,
+                    help="path to a HLP train_state checkpoint to resume from")
     args = ap.parse_args()
 
     from rapid_locomotion_rl_tpu.config import Cfg
@@ -68,6 +70,8 @@ def main():
         ac_args=ACArgs(activation="tanh", use_latent=False),
         runner_args=RunnerArgs(num_steps_per_env=200),
         eval_expert=True)
+    if args.resume:
+        runner.load_checkpoint(args.resume)
     runner.learn(args.iterations, eval_freq=200)
 
 

@@ -62,7 +62,8 @@ def load_env(logdir, num_envs=1):
     return env, ac, params
 
 
-def play(logdir=None, steps=1000, cmd=(1.0, 0.0, 0.0), plot=True):
+def play(logdir=None, steps=1000, cmd=(1.0, 0.0, 0.0), plot=True,
+         gif=None):
     from rapid_locomotion_rl_tpu.models.networks import ActorCritic
 
     logdir = logdir or latest_run()
@@ -79,7 +80,7 @@ def play(logdir=None, steps=1000, cmd=(1.0, 0.0, 0.0), plot=True):
         state, res = env.step(state, actions)
         return state, res
 
-    vxs, qs, zs = [], [], []
+    vxs, qs, zs, poses = [], [], [], []
     for _ in range(steps):
         state, res = step(state)
         from rapid_locomotion_rl_tpu.ops import quat as Q
@@ -88,6 +89,21 @@ def play(logdir=None, steps=1000, cmd=(1.0, 0.0, 0.0), plot=True):
         vxs.append(float(v_body[0, 0]))
         qs.append(np.asarray(state.sim.q[0]))
         zs.append(float(state.sim.base_pos[0, 2]))
+        if gif:
+            poses.append((np.asarray(state.sim.base_pos[0]),
+                          np.asarray(state.sim.base_quat[0]),
+                          qs[-1], np.asarray(state.env_origins[0])))
+
+    if gif:
+        from rapid_locomotion_rl_tpu.utils.render import render_trajectory
+        pos, quat, qq, origin = (np.stack([p[i] for p in poses])
+                                 for i in range(4))
+        out = render_trajectory(
+            env.model, pos, quat, qq, origin, gif, stride=2,
+            title=f"deterministic eval, cmd vx={cmd[0]:+.1f}",
+            terrain=getattr(env, "terrain_grid", None))
+        if out:
+            print(f"video -> {out}")
 
     print(f"mean vx over last 500 steps: {np.mean(vxs[-500:]):.3f} m/s "
           f"(command {cmd[0]})")
@@ -114,5 +130,7 @@ if __name__ == "__main__":
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--steps", type=int, default=1000)
     ap.add_argument("--vx", type=float, default=1.0)
+    ap.add_argument("--gif", default=None,
+                    help="render a camera-style GIF of the rollout here")
     a = ap.parse_args()
-    play(a.logdir, a.steps, (a.vx, 0.0, 0.0))
+    play(a.logdir, a.steps, (a.vx, 0.0, 0.0), gif=a.gif)

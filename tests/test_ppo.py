@@ -136,3 +136,45 @@ def test_train_iteration_runs():
     # params actually moved
     assert np.all(np.isfinite(np.asarray(
         jax.tree.leaves(ppo_state.params)[0], dtype=np.float32)))
+
+
+def test_rollout_without_sim_state():
+    """Regression: envs whose state has no .sim field (e.g. HLPState) must
+    roll out without the env-0 pose-capture piggyback crashing at trace
+    time (round-4 r4_hlp failure)."""
+    from typing import NamedTuple
+
+    from rapid_locomotion_rl_tpu.envs.legged_robot import StepResult
+    from rapid_locomotion_rl_tpu.learn.ppo import rollout
+
+    N, n_obs = 6, 5
+
+    class MiniState(NamedTuple):
+        obs: jnp.ndarray
+        privileged_obs: jnp.ndarray
+        obs_history: jnp.ndarray
+
+    class MiniEnv:
+        num_train_envs = N
+        num_eval_envs = 0
+
+        def step(self, state, actions):
+            obs = state.obs + 0.1 * actions.mean(axis=-1, keepdims=True)
+            nxt = MiniState(obs, state.privileged_obs, state.obs_history)
+            info = {"time_outs": jnp.zeros(N),
+                    "env_bins": jnp.zeros(N, jnp.int32)}
+            return nxt, StepResult(obs, nxt.privileged_obs, nxt.obs_history,
+                                   rew=obs.sum(-1), done=jnp.zeros(N, bool),
+                                   info=info)
+
+    ac = ActorCritic(n_obs, n_obs, n_obs, 3,
+                     ACArgs(activation="tanh", use_latent=False))
+    key = jax.random.PRNGKey(0)
+    z = jnp.zeros((N, n_obs))
+    params = ac.init(key, z, z, z)
+    state = MiniState(z, z, z)
+    new_state, traj, infos, poses = rollout(
+        MiniEnv(), ac, PPOArgs(), params, state, key, num_steps=4)
+    assert poses == ()          # no sim state -> no pose log
+    assert traj.obs.shape == (4, N, n_obs)
+    assert np.isfinite(np.asarray(traj.rewards)).all()
