@@ -281,22 +281,67 @@ def contact_forces_implicit(
     body_oh = _body_onehot(model)                        # [nb,ng]
     n_active = body_oh @ in_contact                      # [nb]
     split = jnp.maximum(n_active[model.geom_body], 1.0)  # [ng]
-    lam_inv = lam_inv * split[..., None, None]
 
-    # f = Lam (v_target - v_pred)/dt  <=>  lam_inv f = (v_target - v_pred)/dt
-    dv = n * v_tgt_n[..., None] - v_pred
-    f = solve33(lam_inv, dv / dt)
+    if iterations > 1 and phi0_w is not None and arm_base is not None:
+        # Iterated Jacobi solve with explicit base cross-coupling: the
+        # one-pass splitting leaves each stance foot seeing an inflated
+        # base mobility, under-applying stiction (EXPERIMENTS.md §19).
+        # Here every contact solves against its TRUE local response and
+        # the velocity injected at contact i by the OTHER contacts'
+        # impulses is fed back through the floating base each sweep:
+        #   v_cross_i = dt * B_i Phi0 (Σ_j B_j^T f_j − B_i^T f_i)
+        # with B_i = [−r̃_i | I] the rigid point-velocity map about the
+        # base origin (the leading cross-limb coupling; same-limb joint
+        # coupling stays approximated by the local solve). Under-relaxed
+        # Jacobi (ω=0.7) — the simultaneous analogue of PhysX's TGS
+        # iterations. Opt-in via sim.contact_iterations > 1; the default
+        # single-pass branch below is traced UNCHANGED (compile-cache
+        # stability for the flagship/bench signatures).
+        mu = 0.5 * (friction + terrain_friction)
 
-    # unilateral + friction-cone projection
-    mu = 0.5 * (friction + terrain_friction)
-    f_n = jnp.sum(f * n, axis=-1)
-    f_t = f - n * f_n[..., None]
-    f_n = jnp.maximum(f_n, 0.0) * in_contact
-    ft_norm = jnp.linalg.norm(f_t, axis=-1)
-    # smooth stick->slide transition near the cone boundary
-    scale = (jnp.minimum(1.0, mu * f_n / (ft_norm + 1e-9))
-             * in_contact)
-    forces = n * f_n[..., None] + f_t * scale[..., None]
+        def _project(fc):
+            f_n = jnp.sum(fc * n, axis=-1)
+            f_t = fc - n * f_n[..., None]
+            f_n = jnp.maximum(f_n, 0.0) * in_contact
+            ft_norm = jnp.linalg.norm(f_t, axis=-1)
+            sc = (jnp.minimum(1.0, mu * f_n / (ft_norm + 1e-9))
+                  * in_contact)
+            return n * f_n[..., None] + f_t * sc[..., None], f_n
+
+        loc = lam_inv_true if lam_inv_true is not None else lam_inv
+        rb = arm_base                                       # [ng,3]
+        dv0 = n * v_tgt_n[..., None] - v_pred
+        omega = 0.7
+        f = jnp.zeros_like(v_pred)
+        for _ in range(int(iterations)):
+            F_tot = jnp.concatenate(
+                (jnp.sum(jnp.cross(rb, f), axis=0),
+                 jnp.sum(f, axis=0)))                       # [6]
+            self6 = jnp.concatenate(
+                (jnp.cross(rb, f), f), axis=-1)             # [ng,6]
+            y = (F_tot[None, :] - self6) @ phi0_w.T         # [ng,6]
+            v_cross = y[:, 3:] - jnp.cross(rb, y[:, :3])    # B_i y
+            f_new = solve33(loc, (dv0 - dt * v_cross) / dt)
+            f_new, _ = _project(f_new)
+            f = (1.0 - omega) * f + omega * f_new
+        forces, f_n = _project(f)
+    else:
+        lam_inv = lam_inv * split[..., None, None]
+
+        # f = Lam (v_target - v_pred)/dt  <=>  lam_inv f = (v_target - v_pred)/dt
+        dv = n * v_tgt_n[..., None] - v_pred
+        f = solve33(lam_inv, dv / dt)
+
+        # unilateral + friction-cone projection
+        mu = 0.5 * (friction + terrain_friction)
+        f_n = jnp.sum(f * n, axis=-1)
+        f_t = f - n * f_n[..., None]
+        f_n = jnp.maximum(f_n, 0.0) * in_contact
+        ft_norm = jnp.linalg.norm(f_t, axis=-1)
+        # smooth stick->slide transition near the cone boundary
+        scale = (jnp.minimum(1.0, mu * f_n / (ft_norm + 1e-9))
+                 * in_contact)
+        forces = n * f_n[..., None] + f_t * scale[..., None]
 
     # torsional friction (contact patch): spin-stiction about the normal
     if torsional_patch_radius > 0.0 and geom_omega is not None \

@@ -483,14 +483,22 @@ def osim_from_sweeps(model, sweeps, frames: BodyFrames,
                      contact_arm_w: jnp.ndarray,
                      fixed_base: bool = False,
                      base_split: float = 4.0,
-                     return_ang: bool = False) -> jnp.ndarray:
+                     return_ang: bool = False,
+                     return_base: bool = False) -> jnp.ndarray:
     """Per-geom world 3x3 inverse apparent inertia from a completed
     articulated-inertia sweep (see contact_inv_inertia for semantics).
 
     With ``return_ang=True`` additionally returns the per-geom world
     ANGULAR inverse apparent inertia block A_w ([ng,3,3]): the body's
     angular-velocity response to a pure torque (application-point
-    independent), used by the torsional-friction patch model."""
+    independent), used by the torsional-friction patch model.
+
+    With ``return_base=True`` additionally returns the WORLD-frame base
+    mobility Phi0_w ([6,6], spatial order [ang; lin], about the base
+    origin, WITHOUT the Jacobi split): the dominant cross-contact
+    coupling term for the iterated contact solve — feet on different
+    limbs interact (to leading order) only through the floating base
+    (contact_forces_implicit iterations > 1)."""
     nb = model.nb
     f32 = jnp.float32
     IA, U, d, Xs, Ss = (sweeps["IA"], sweeps["U"], sweeps["d"],
@@ -500,6 +508,13 @@ def osim_from_sweeps(model, sweeps, frames: BodyFrames,
         Phi[0] = jnp.zeros((6, 6), f32)
     else:
         Phi[0] = base_split * inv_psd6(IA[0])
+    phi0_w = None
+    if return_base:
+        R0 = frames.R[0]
+        Z = jnp.zeros((3, 3), f32)
+        blk = jnp.block([[R0, Z], [Z, R0]])
+        phi0_w = blk @ (Phi[0] / (base_split if not fixed_base else 1.0)
+                        ) @ blk.T
     for i in range(1, nb):
         par = int(model.parent[i])
         M = Xs[i] @ Phi[par] @ Xs[i].T
@@ -508,22 +523,26 @@ def osim_from_sweeps(model, sweeps, frames: BodyFrames,
 
     if model.ng == 0:
         z = jnp.zeros((0, 3, 3), f32)
-        return (z, z) if return_ang else z
-    lam_inv = []
-    ang_inv = []
-    for g in range(model.ng):
-        b = int(model.geom_body[g])
-        R = frames.R[b]
-        r = contact_arm_w[g]
-        A_w = R @ Phi[b][:3, :3] @ R.T
-        B_w = R @ Phi[b][:3, 3:] @ R.T
-        D_w = R @ Phi[b][3:, 3:] @ R.T
-        Sm = -S.skew(r)
-        lam_inv.append(Sm @ A_w @ Sm.T + Sm @ B_w + B_w.T @ Sm.T + D_w)
-        ang_inv.append(A_w)
-    if return_ang:
-        return jnp.stack(lam_inv), jnp.stack(ang_inv)
-    return jnp.stack(lam_inv)
+        out = [z] + ([z] if return_ang else [])
+    else:
+        lam_inv = []
+        ang_inv = []
+        for g in range(model.ng):
+            b = int(model.geom_body[g])
+            R = frames.R[b]
+            r = contact_arm_w[g]
+            A_w = R @ Phi[b][:3, :3] @ R.T
+            B_w = R @ Phi[b][:3, 3:] @ R.T
+            D_w = R @ Phi[b][3:, 3:] @ R.T
+            Sm = -S.skew(r)
+            lam_inv.append(Sm @ A_w @ Sm.T + Sm @ B_w + B_w.T @ Sm.T + D_w)
+            ang_inv.append(A_w)
+        out = [jnp.stack(lam_inv)] + ([jnp.stack(ang_inv)]
+                                      if return_ang else [])
+    if return_base:
+        out.append(phi0_w if phi0_w is not None
+                   else jnp.zeros((6, 6), f32))
+    return out[0] if len(out) == 1 else tuple(out)
 
 
 class PhysParams(NamedTuple):

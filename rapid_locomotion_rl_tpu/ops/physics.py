@@ -117,16 +117,26 @@ def physics_step(
                 model, state, gravity, params.payload,
                 params.com_displacement, fixed_base=fixed_base,
                 joint_impedance=joint_imp)
+            c_iters = int(getattr(sim_cfg, "contact_iterations", 1))
+            phi0_w = None
             if lam_inv is None:   # q drifts ~nothing within one control step
                 import numpy as _np
                 n_limbs = float(max(
                     int(_np.sum(_np.asarray(model.parent) == 0)), 1))
                 base_split = (float(getattr(sim_cfg, "contact_base_split",
                                             0.0)) or n_limbs)
-                lam_inv, ang_inv = osim_from_sweeps(
-                    model, sweeps, frames, arm_w,
-                    fixed_base=fixed_base, base_split=base_split,
-                    return_ang=True)
+                if c_iters > 1:
+                    # iterated solve: true (unsplit) local response + the
+                    # base mobility for explicit cross-contact coupling
+                    lam_inv, ang_inv, phi0_w = osim_from_sweeps(
+                        model, sweeps, frames, arm_w,
+                        fixed_base=fixed_base, base_split=1.0,
+                        return_ang=True, return_base=True)
+                else:
+                    lam_inv, ang_inv = osim_from_sweeps(
+                        model, sweeps, frames, arm_w,
+                        fixed_base=fixed_base, base_split=base_split,
+                        return_ang=True)
             qdd_f, a0_f, a_body = solve(tau_total, None,
                                         return_body_accels=True)
             a_pt = point_accels(model, frames, a_body, arm_w=arm_w)
@@ -139,7 +149,9 @@ def physics_step(
                 dt=dt, terrain_friction=terrain_mu,
                 geom_omega=frames.w[gb], ang_inv=ang_inv,
                 torsional_patch_radius=getattr(
-                    sim_cfg, "torsional_patch_radius", 0.0))
+                    sim_cfg, "torsional_patch_radius", 0.0),
+                iterations=c_iters, phi0_w=phi0_w,
+                arm_base=(p_c - frames.p[0]) if c_iters > 1 else None)
             f_ext = spatial_forces_on_bodies(model, frames, p_c, forces,
                                              torques_w=ctorques)
             if f_world is not None:
