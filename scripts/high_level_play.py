@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--resume", default=None,
                     help="path to a HLP train_state checkpoint to resume from")
+    ap.add_argument("--min-std", type=float, default=0.0,
+                    help="exploration floor on the action std (the HLP hits "
+                         "the same sigma^2 adaptive-LR ratchet as the "
+                         "low-level flagship — EXPERIMENTS.md §13)")
     args = ap.parse_args()
 
     from rapid_locomotion_rl_tpu.config import Cfg
@@ -67,7 +71,8 @@ def main():
 
     runner = Runner(
         env, logdir=args.logdir,
-        ac_args=ACArgs(activation="tanh", use_latent=False),
+        ac_args=ACArgs(activation="tanh", use_latent=False,
+                       min_std=args.min_std),
         runner_args=RunnerArgs(num_steps_per_env=200),
         eval_expert=True)
     if args.resume:
