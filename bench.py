@@ -144,12 +144,17 @@ def main():
     # compile cache.
     sizes = tuple(int(s) for s in
                   os.environ.get("BENCH_SIZES", "4000,1024,8192").split(","))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "3000"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    # a post-headline arm costs up to ~250 s compile (cache MISS) + ~120 s
+    # measurement; only start one if it can FINISH inside the budget —
+    # r04's bench emitted its headline but was killed (rc=124) by the
+    # driver timeout during the sweep tail
+    arm_cost_s = 400.0
     sweep = {}
     emitted = False
     for n in sizes:
-        if emitted and time.time() - _T_START > budget_s:
-            log(f"[bench] budget {budget_s:.0f}s exhausted "
+        if emitted and time.time() - _T_START > budget_s - arm_cost_s:
+            log(f"[bench] budget {budget_s:.0f}s nearly exhausted "
                 f"({time.time() - _T_START:.0f}s elapsed) — skipping "
                 f"{n}-env arm (headline already emitted)")
             continue
@@ -177,7 +182,7 @@ def main():
     # block dims must tile (8,128)) — not re-measured.
     if (jax.default_backend() not in ("cpu",)
             and os.environ.get("BENCH_PALLAS", "1") != "0"):
-        if time.time() - _T_START > budget_s:
+        if time.time() - _T_START > budget_s - arm_cost_s:
             log("[bench] budget exhausted — skipping soa comparison arm")
         else:
             try:

@@ -48,6 +48,15 @@ class HLPRewardScales:
     action_rate = -0.01
     lateral_vel = -0.05
     backward_vel = -0.005
+    # Potential-based progress shaping (NOT in the reference; default off).
+    # r += scale * (dist(last_pos, goal) - dist(pos, goal)) telescopes over
+    # the episode, so it is policy-invariant (Ng et al. 1999) — it exists
+    # because the reference's visible per-episode returns order as
+    # fall(-2) > timeout(-1 + ~-3 distance stream), i.e. dying immediately
+    # beats surviving, and the +5 goal bonus is too rare under a 0.1 m
+    # tolerance to be discovered from random exploration (round-4 r4_hlp2:
+    # goal rate decays 0.4 -> 0 while episodes shrink to ~1 s).
+    progress = 0.0
 
 
 class HLPState(NamedTuple):
@@ -100,6 +109,11 @@ class HighLevelControlEnv:
             for k in ("distance", "action_rate", "lateral_vel",
                       "backward_vel")
             if getattr(scales, k) != 0.0}
+        # progress is a per-step potential DIFFERENCE (telescopes to
+        # dist_start - dist_end regardless of step count), so it is not
+        # dt-scaled
+        if getattr(scales, "progress", 0.0) != 0.0:
+            self.step_scales["progress"] = getattr(scales, "progress")
         self.terminal_scales = {
             k: getattr(scales, k)
             for k in ("terminal_distance_covered", "terminal_distance_gs",
@@ -176,13 +190,17 @@ class HighLevelControlEnv:
         reset_buf = ll_dones | gs_buf | time_buf
 
         # rewards (:170-187); distance uses last_pos (pre-step position)
+        dist_last = jnp.linalg.norm(
+            state.last_pos[:, :2] - state.goal_position, axis=-1)
+        dist_now = jnp.linalg.norm(
+            base_pos[:, :2] - state.goal_position, axis=-1)
         terms = {
-            "distance": jnp.linalg.norm(
-                state.last_pos[:, :2] - state.goal_position, axis=-1),
+            "distance": dist_last,
             "action_rate": jnp.sum(
                 (state.last_actions - actions) ** 2, axis=-1),
             "lateral_vel": lateral_vel ** 2,
             "backward_vel": backward_vel ** 2,
+            "progress": dist_last - dist_now,
         }
         terminal_terms = {
             "terminal_distance_covered": dist_travelled,

@@ -44,6 +44,15 @@ from .soa_physics import _v3, _stack_v3, fk_geom_xy, substep_chain
 LANES = 128
 
 
+def round_sublanes(block_sublanes: int) -> int:
+    """Mosaic requires the last two block dims to tile (8, 128) for f32; a
+    sublane count that is not a multiple of 8 (e.g. 4) fails to lower
+    ("last two dimensions of your block shape divisible by 8 and 128" —
+    seen at 8192 envs in bench_r04_self.log). Padded envs are
+    edge-replicated and sliced away, so rounding up is always legal."""
+    return max(-(-int(block_sublanes) // 8), 1) * 8
+
+
 def _out_channels(model):
     # state (3+4+3+3+2*nv) + report nr*3 + geom_pos ng*3
     return 13 + 2 * model.nv + 3 * model.nr + 3 * model.ng
@@ -128,6 +137,13 @@ def physics_step_pallas(
     assert layout is not None, "Pallas path requires a limb-decomposable tree"
     nv, ng, nr = model.nv, model.ng, model.nr
     N = state.q.shape[0]
+    # Mosaic requires the last two block dims to tile (8, 128) for f32;
+    # a requested sublane count that is not a multiple of 8 (e.g. 4) fails
+    # to lower ("last two dimensions of your block shape divisible by 8
+    # and 128"), so round it up — padded envs are edge-replicated and
+    # sliced away below, so any (num_envs, block_sublanes) combination is
+    # legal.
+    block_sublanes = max(-(-block_sublanes // 8), 1) * 8
     blk = block_sublanes * LANES
     npad = max(-(-N // blk), 1) * blk
 

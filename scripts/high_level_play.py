@@ -31,6 +31,17 @@ def main():
                     help="exploration floor on the action std (the HLP hits "
                          "the same sigma^2 adaptive-LR ratchet as the "
                          "low-level flagship — EXPERIMENTS.md §13)")
+    ap.add_argument("--zero-reward-on-reset", type=int, default=1,
+                    choices=[0, 1],
+                    help="1 (default) = the reference quirk: reset_idx "
+                         "zeroes rew_buf AFTER terminal rewards were added "
+                         "(high_level_play.py:222), so the learner never "
+                         "sees the +5 goal / -2 fall / -1 timeout bonuses; "
+                         "0 = terminal rewards visible")
+    ap.add_argument("--progress-scale", type=float, default=0.0,
+                    help="potential-based distance-progress shaping "
+                         "(envs/hlp.py HLPRewardScales.progress; 0 = "
+                         "reference parity)")
     args = ap.parse_args()
 
     from rapid_locomotion_rl_tpu.config import Cfg
@@ -60,7 +71,15 @@ def main():
         os.path.join(ll_run, "checkpoints/train_state_last.pkl"))
     ll_params = payload["ppo_state"].params
 
-    env = HighLevelControlEnv(ll_env, ll_params)
+    from rapid_locomotion_rl_tpu.envs.hlp import HLPRewardScales
+
+    class _Scales(HLPRewardScales):
+        progress = args.progress_scale
+
+    env = HighLevelControlEnv(
+        ll_env, ll_params,
+        zero_reward_on_reset=bool(args.zero_reward_on_reset),
+        scales=_Scales)
     # runner shims: HLP env reuses the low-level config metadata
     env.cfg = ll_env.cfg
     env.derived = ll_env.derived

@@ -76,6 +76,50 @@ def test_hlp_timeout_termination(hlp_env):
     assert np.all(np.asarray(state.episode_length) <= 2)
 
 
+def test_hlp_progress_shaping_and_visible_terminals(hlp_env):
+    """Round-5 HLP levers: (a) potential-based progress shaping telescopes
+    to dist_start - dist_end; (b) zero_reward_on_reset=False makes the
+    terminal bonuses visible to the learner (+5 goal / -2 fall / -1
+    timeout; the reference quirk at high_level_play.py:222 erases them)."""
+    from rapid_locomotion_rl_tpu.envs.hlp import HLPRewardScales
+
+    class Shaped(HLPRewardScales):
+        progress = 1.0
+
+    env = HighLevelControlEnv(hlp_env.ll_env, hlp_env.ll_params,
+                              zero_reward_on_reset=False, scales=Shaped)
+    assert "progress" in env.step_scales
+    # progress is NOT dt-scaled (it telescopes)
+    assert env.step_scales["progress"] == 1.0
+
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    d0 = float(jnp.linalg.norm(
+        state.obs[0, 0:2] - state.obs[0, 12:14]))
+    total_progress = 0.0
+    for _ in range(4):
+        prev = np.asarray(state.last_pos[:, :2])
+        state, res = step(state, jnp.zeros((8, 3)))
+        now = np.asarray(state.last_pos[:, :2])
+        goal = np.asarray(state.goal_position)
+        if not np.any(np.asarray(res.done)):
+            total_progress += (np.linalg.norm(prev - goal, axis=-1)
+                               - np.linalg.norm(now - goal, axis=-1))
+    d1 = float(jnp.linalg.norm(state.obs[0, 0:2] - state.obs[0, 12:14]))
+    sums = np.asarray(state.episode_sums["progress"])
+    # telescoped: episode progress sum == dist_start - dist_now
+    np.testing.assert_allclose(sums[0], d0 - d1, atol=1e-4)
+
+    # visible terminal rewards: force a timeout and check -1 lands in rew
+    state = state._replace(episode_length=jnp.full(
+        (8,), env.max_episode_length, jnp.int32))
+    state, res = step(state, jnp.zeros((8, 3)))
+    done = np.asarray(res.done)
+    assert np.any(done)
+    # every timed-out env's reward includes the -1 terminal bonus
+    assert np.all(np.asarray(res.rew)[done] < -0.9)
+
+
 @pytest.mark.slow
 def test_hlp_trains(hlp_env):
     env = hlp_env

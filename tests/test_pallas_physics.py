@@ -114,6 +114,24 @@ def test_pallas_matches_soa_tiny(tiny_model, with_terrain, with_imp):
     _parity_case(tiny_model, with_terrain, with_imp)
 
 
+def test_round_sublanes():
+    """Mosaic f32 blocks must tile (8, 128): any requested sublane count
+    rounds UP to a multiple of 8 (sublanes=4 at 8192 envs failed to lower
+    in round 4 — bench_r04_self.log)."""
+    from rapid_locomotion_rl_tpu.ops.pallas_physics import round_sublanes
+    assert round_sublanes(4) == 8
+    assert round_sublanes(1) == 8
+    assert round_sublanes(8) == 8
+    assert round_sublanes(12) == 16
+    assert round_sublanes(16) == 16
+
+
+def test_pallas_odd_sublanes_and_env_counts(tiny_model):
+    """A user-picked (num_envs, block_sublanes) combination must never
+    hard-fail: sublanes=4 rounds to 8 and odd env counts edge-pad."""
+    _parity_case(tiny_model, False, False, n=77, block_sublanes=4)
+
+
 @pytest.mark.slow
 def test_pallas_matches_soa_mc(model):
     """Full mini-cheetah model (42 geoms): ~15 min of eager execution —
@@ -121,8 +139,8 @@ def test_pallas_matches_soa_mc(model):
     _parity_case(model, True, True)
 
 
-def _parity_case(model, with_terrain, with_imp):
-    n = 200   # NOT a multiple of the 512-env block: exercises edge padding
+def _parity_case(model, with_terrain, with_imp, n=200, block_sublanes=8):
+    # default n=200 is NOT a multiple of the env block: exercises padding
     sim = SimCfg()
     state = _state(model, n)
     params = _params(n)
@@ -139,7 +157,8 @@ def _parity_case(model, with_terrain, with_imp):
         ref = physics_step_soa(model, sim, state, tau, params, grid,
                                implicit_damp=imp)
         out = physics_step_pallas(model, sim, state, tau, params, grid,
-                                  implicit_damp=imp, interpret=True)
+                                  implicit_damp=imp, interpret=True,
+                                  block_sublanes=block_sublanes)
 
     for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel",
                  "q", "qd"):
