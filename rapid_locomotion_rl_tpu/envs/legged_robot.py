@@ -130,9 +130,16 @@ class LeggedRobotEnv:
         self.dt = self.derived.dt
 
         asset_path = cfg.asset.file.format(ROOT=RLTPU_ROOT_DIR)
-        self.model: RobotModel = load_urdf(
-            asset_path, armature=cfg.asset.armature,
-            mesh_sphere_fit=cfg.asset.mesh_sphere_fit)
+        if asset_path.endswith(".xml"):
+            # MJCF path (reference gym.load_asset accepts both formats;
+            # resources/robots/go1/xml/go1.xml:1-14)
+            from ..models.mjcf import load_mjcf
+            self.model: RobotModel = load_mjcf(
+                asset_path, armature=cfg.asset.armature)
+        else:
+            self.model: RobotModel = load_urdf(
+                asset_path, armature=cfg.asset.armature,
+                mesh_sphere_fit=cfg.asset.mesh_sphere_fit)
         m = self.model
         self.num_dof = m.nv
         self.num_actions = cfg.env.num_actions
@@ -956,6 +963,58 @@ class LeggedRobotEnv:
                             obs_history=obs_history, rew=rew_buf,
                             done=reset_buf, info=info)
         return new_state, result
+
+    # ------------------------------------------------------------------
+    def reward_terms(self, state: EnvState) -> Dict[str, jnp.ndarray]:
+        """Instantaneous per-term scaled rewards evaluated on the CURRENT
+        state buffers — the analogue of the reference `auxiliary_rewards`
+        eval probe calling `env.reward_functions[i]()` on live buffers
+        (reference mini_gym_learn/eval_metrics/metrics.py:66-72). Like the
+        reference probe this reads post-step buffers (feet_air_time has
+        already been zeroed on contact), so the air-time term is an
+        instantaneous approximation of the in-step value."""
+        sim = state.sim
+        base_lin_vel = Q.quat_rotate_inverse(sim.base_quat, sim.base_lin_vel)
+        base_ang_vel = Q.quat_rotate_inverse(sim.base_quat, sim.base_ang_vel)
+        gvec = jnp.asarray([0.0, 0.0, -1.0], jnp.float32)
+        projected_gravity = Q.quat_rotate_inverse(
+            sim.base_quat, jnp.broadcast_to(gvec, sim.base_pos.shape))
+        base_height = jnp.mean(
+            sim.base_pos[:, 2:3] - state.measured_heights, axis=-1)
+        report = state.contact_report
+        feet_z = report[:, list(self.feet_indices), 2]
+        contact = feet_z > 1.0
+        contact_filt = contact | state.last_contacts
+        first_contact = (state.feet_air_time > 0.0) & contact_filt
+        rew_air = jnp.sum((state.feet_air_time - 0.5) * first_contact,
+                          axis=-1)
+        rew_air = rew_air * (jnp.linalg.norm(state.commands[:, :2], axis=-1)
+                             > 0.1)
+        ctx = R.RewardContext(
+            base_lin_vel=base_lin_vel, base_ang_vel=base_ang_vel,
+            projected_gravity=projected_gravity, base_height=base_height,
+            dof_pos=sim.q, default_dof_pos=self.default_dof_pos,
+            dof_vel=sim.qd, last_dof_vel=state.last_dof_vel,
+            torques=state.torques, dof_pos_limits=self.dof_pos_limits,
+            dof_vel_limits=self.dof_vel_limits,
+            torque_limits=self.torque_limits,
+            actions=state.actions, last_actions=state.last_actions,
+            commands=state.commands, contact_forces=report,
+            feet_indices=self.feet_indices,
+            penalised_contact_indices=self.penalised_contact_indices,
+            feet_air_time_reward=rew_air,
+            reset_buf=state.reset_buf, time_out_buf=state.time_out_buf,
+            tracking_sigma=self.cfg.rewards.tracking_sigma,
+            tracking_sigma_yaw=self.cfg.rewards.tracking_sigma_yaw,
+            base_height_target=self.cfg.rewards.base_height_target,
+            soft_dof_vel_limit=self.cfg.rewards.soft_dof_vel_limit,
+            soft_torque_limit=self.cfg.rewards.soft_torque_limit,
+            max_contact_force=self.cfg.rewards.max_contact_force,
+            dt=self.dt, global_reference=self.cfg.commands.global_reference,
+            root_lin_vel_world=sim.base_lin_vel,
+        )
+        return {name: R.REWARD_REGISTRY[name](ctx) * self.reward_scales[name]
+                for name in self.reward_names}
 
     # ------------------------------------------------------------------
     def _teleport(self, sim: SimState) -> SimState:

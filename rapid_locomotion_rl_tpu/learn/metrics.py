@@ -80,13 +80,65 @@ def contact_rate(env, env_state, ac=None, params=None):
     return jnp.mean((f > 1.0).astype(jnp.float32))
 
 
+def lin_vel_x(env, env_state, ac=None, params=None):
+    """Mean achieved forward body velocity (metrics.py:16-17)."""
+    return jnp.mean(_base_lin_vel(env_state)[:, 0])
+
+
+def ang_vel_yaw(env, env_state, ac=None, params=None):
+    """Mean achieved yaw rate (metrics.py:20-21)."""
+    return jnp.mean(_base_ang_vel(env_state)[:, 2])
+
+
+def max_torques(env, env_state, ac=None, params=None):
+    """Mean over envs of the per-env max |torque| (metrics.py:29-33)."""
+    return jnp.mean(jnp.max(jnp.abs(env_state.torques), axis=-1))
+
+
+def power_consumption(env, env_state, ac=None, params=None):
+    """Signed Σ τ·q̇ — the reference's unclipped power (metrics.py:35-38;
+    `mechanical_power` above is the positive-work variant)."""
+    return jnp.mean(jnp.sum(env_state.torques * env_state.sim.qd, axis=-1))
+
+
+def auxiliary_rewards(env, env_state, ac=None, params=None):
+    """Per-term scaled instantaneous rewards as a dict (metrics.py:66-72;
+    the reference's `return` sits INSIDE its loop so it only ever reports
+    the first term — here the full registry is returned)."""
+    return {k: jnp.mean(v) for k, v in env.reward_terms(env_state).items()}
+
+
+def termination(env, env_state, ac=None, params=None):
+    """Fraction of envs terminating this step (metrics.py:75-77)."""
+    return jnp.mean(env_state.reset_buf.astype(jnp.float32))
+
+
+def privileged_obs(env, env_state, ac=None, params=None):
+    """Raw scale-shifted privileged observations (metrics.py:79-81)."""
+    return env_state.privileged_obs
+
+
+def latents(env, env_state, ac: ActorCritic = None, params=None):
+    """Teacher latent e = encoder(priv_obs) (metrics.py:83-85)."""
+    return ac.apply(params, env_state.privileged_obs,
+                    method=ActorCritic.teacher_latent)
+
+
 METRICS_FNS: Dict[str, Callable] = {
     "lin_vel_rmsd": lin_vel_rmsd,
     "ang_vel_rmsd": ang_vel_rmsd,
+    "lin_vel_x": lin_vel_x,
+    "ang_vel_yaw": ang_vel_yaw,
+    "max_torques": max_torques,
+    "power_consumption": power_consumption,
     "mechanical_power": mechanical_power,
     "cost_of_transport": cost_of_transport,
     "froude_number": froude_number,
     "adaptation_loss": adaptation_loss,
+    "auxiliary_rewards": auxiliary_rewards,
+    "termination": termination,
+    "privileged_obs": privileged_obs,
+    "latents": latents,
     "base_height": base_height,
     "contact_rate": contact_rate,
 }

@@ -54,7 +54,16 @@ def evaluate(logdir, preset_name, preset_fn, num_envs, steps):
 
     out = {"done_rate": dones / (steps * num_envs)}
     for name, fn in METRICS_FNS.items():
-        out[name] = float(fn(env, state, ac, params))
+        v = fn(env, state, ac, params)
+        if isinstance(v, dict):
+            # auxiliary_rewards: one scalar per active reward term
+            for k, t in v.items():
+                out[f"{name}/{k}"] = float(jnp.mean(t))
+        elif getattr(v, "ndim", 0) > 0:
+            # privileged_obs / latents: per-dimension mean over envs
+            out[name] = np.asarray(jnp.mean(v, axis=0)).tolist()
+        else:
+            out[name] = float(v)
     return out
 
 

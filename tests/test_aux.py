@@ -105,6 +105,60 @@ def test_mjcf_go1():
     assert all("joint" in n for n in m.joint_names)
 
 
+def test_mjcf_urdf_parity_go1():
+    """The MJCF-built Go1 must agree with the URDF-built one wherever the
+    source assets agree: identical tree topology, joint order, position
+    limits, effort limits, and frame geometry. Masses differ at the SOURCE
+    level (the Unitree MJCF folds rotor masses into the hips: 0.679 vs
+    0.510 kg; MJCF carries no velocity limits), so mass parity is
+    tolerance-based. Reference loads either format through the same
+    gym.load_asset (resources/robots/go1/xml/go1.xml:1-14)."""
+    from rapid_locomotion_rl_tpu.models import load_mjcf, load_urdf
+    mj = load_mjcf(f"{RLTPU_ROOT_DIR}/resources/robots/go1/xml/go1.xml")
+    ur = load_urdf(f"{RLTPU_ROOT_DIR}/resources/robots/go1/urdf/go1.urdf")
+    assert mj.nb == ur.nb and mj.nv == ur.nv
+    assert list(mj.joint_names) == list(ur.joint_names)
+    # base body is named 'trunk' in the MJCF, 'base' in the collapsed URDF
+    assert list(mj.body_names)[1:] == list(ur.body_names)[1:]
+    np.testing.assert_array_equal(np.asarray(mj.parent),
+                                  np.asarray(ur.parent))
+    np.testing.assert_allclose(mj.p_tree, ur.p_tree, atol=1e-6)
+    np.testing.assert_allclose(mj.axis, ur.axis, atol=1e-6)
+    np.testing.assert_allclose(mj.dof_lower, ur.dof_lower, atol=1e-5)
+    np.testing.assert_allclose(mj.dof_upper, ur.dof_upper, atol=1e-5)
+    np.testing.assert_allclose(mj.dof_effort, ur.dof_effort, atol=1e-6)
+    # masses: identical except the 4 hips (rotor folding); total within 6%
+    diff = np.abs(np.asarray(mj.mass) - np.asarray(ur.mass))
+    assert np.sum(diff > 1e-3) <= 4
+    assert diff.max() < 0.2
+    assert abs(mj.total_mass() - ur.total_mass()) / ur.total_mass() < 0.07
+    # principal inertias same order of magnitude everywhere
+    di = np.abs(np.diagonal(mj.inertia, axis1=1, axis2=2))
+    du = np.abs(np.diagonal(ur.inertia, axis1=1, axis2=2))
+    assert np.all((di < 10 * du + 1e-5) & (du < 10 * di + 1e-5))
+
+
+def test_mjcf_env_smoke():
+    """config_go1 with asset.file pointed at the MJCF builds the same env
+    and steps finitely on the full task path."""
+    from rapid_locomotion_rl_tpu.config import config_go1
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+
+    cfg = config_go1()
+    cfg.asset.file = "{ROOT}/resources/robots/go1/xml/go1.xml"
+    cfg.env.num_envs = 4
+    cfg.terrain.mesh_type = "plane"
+    cfg.terrain.teleport_robots = False
+    env = LeggedRobotEnv(cfg)
+    assert env.model.name.startswith("go1")
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    for _ in range(3):
+        state, res = step(state, jnp.zeros((4, 12)))
+    assert np.all(np.isfinite(np.asarray(res.obs)))
+    assert np.all(np.isfinite(np.asarray(state.sim.q)))
+
+
 def test_mjcf_dynamics_step():
     """The MJCF model runs on the same physics stack."""
     from rapid_locomotion_rl_tpu.config import SimCfg
@@ -156,9 +210,25 @@ def test_eval_metrics_registry():
                      env.num_obs_history, env.num_actions, ACArgs())
     params = ac.init(jax.random.PRNGKey(0), jnp.zeros((1, 42)),
                      jnp.zeros((1, 18)), jnp.zeros((1, 630)))
+    # full reference registry (metrics.py:16-85) + repo extras
+    for ref_name in ("lin_vel_rmsd", "ang_vel_rmsd", "lin_vel_x",
+                     "ang_vel_yaw", "max_torques", "power_consumption",
+                     "cost_of_transport", "froude_number",
+                     "adaptation_loss", "auxiliary_rewards", "termination",
+                     "privileged_obs", "latents", "base_height"):
+        assert ref_name in METRICS_FNS, ref_name
     for name, fn in METRICS_FNS.items():
         v = fn(env, state, ac, params)
-        assert np.isfinite(float(v)), name
+        if isinstance(v, dict):
+            assert set(v) == set(env.reward_names)
+            for k, t in v.items():
+                assert np.all(np.isfinite(np.asarray(t))), f"{name}/{k}"
+        else:
+            assert np.all(np.isfinite(np.asarray(v))), name
+    assert np.asarray(METRICS_FNS["privileged_obs"](
+        env, state, ac, params)).shape == (4, 18)
+    assert np.asarray(METRICS_FNS["latents"](
+        env, state, ac, params)).shape == (4, 18)
 
 
 def test_dr_eval_presets():
