@@ -269,16 +269,15 @@ class LeggedRobotEnv:
         if impl in ("soa", "pallas") and layout_for(self.model) is None:
             impl = "aos"
         # world obstacles (reference mini_gym/envs/world/world.py:14-121):
-        # analytic per-env boxes wired into the AoS contact assembly
+        # analytic per-env boxes on every physics path — penalty forces on
+        # the collision spheres (AoS: extra_contact hook; SoA/Pallas:
+        # _box_forces_soa inside the substep chain)
         self.world_boxes = None
         if cfg.world.enabled:
             from .world import box_sphere_forces, default_corridor
             self.world_boxes = default_corridor(
                 cfg.world.length, cfg.world.width, cfg.world.wall_height,
                 cfg.world.wall_thickness)
-            if impl != "aos":
-                print("world obstacles enabled: forcing physics_impl='aos'")
-                impl = "aos"
             geom_radius = jnp.asarray(self.model.geom_radius, jnp.float32)
 
             def _world_contact(origin, pos, vel, m_eff, dt,
@@ -290,10 +289,12 @@ class LeggedRobotEnv:
                     friction=cfg.terrain.static_friction,
                     friction_vel_eps=cfg.sim.friction_vel_eps, dt=dt)
             self._world_contact = _world_contact
+        _wb = self.world_boxes
+        _wmu = cfg.terrain.static_friction
         if impl == "pallas":
             from ..ops.pallas_physics import physics_step_pallas
 
-            def _phys(sim, tau, pp, imp):
+            def _phys(sim, tau, pp, imp, origin=None):
                 return physics_step_pallas(
                     self.model, cfg.sim, sim, tau, pp,
                     terrain=self.collision_grid,
@@ -301,17 +302,21 @@ class LeggedRobotEnv:
                     implicit_damp=imp,
                     block_sublanes=getattr(cfg.sim, "pallas_block_sublanes",
                                            4),
-                    interpret=jax.default_backend() == "cpu")
+                    interpret=jax.default_backend() == "cpu",
+                    world_boxes=_wb, env_origin=origin,
+                    world_friction=_wmu)
             self._phys = _phys
         elif impl == "soa":
             from ..ops.soa_physics import physics_step_soa
 
-            def _phys(sim, tau, pp, imp):
+            def _phys(sim, tau, pp, imp, origin=None):
                 return physics_step_soa(
                     self.model, cfg.sim, sim, tau, pp,
                     terrain=self.collision_grid,
                     fixed_base=cfg.asset.fix_base_link,
-                    implicit_damp=imp)
+                    implicit_damp=imp,
+                    world_boxes=_wb, env_origin=origin,
+                    world_friction=_wmu)
             self._phys = _phys
         elif self.world_boxes is not None:
             self._phys = jax.vmap(lambda s, t, p, i, o: physics_step(

@@ -59,7 +59,7 @@ def _out_channels(model):
 
 
 def _kernel(x_ref, o_ref, *, model, sim_cfg, layout, fixed_base,
-            has_imp, has_terrain):
+            has_imp, has_terrain, world_boxes=None, world_friction=1.0):
     """One env block: unpack channel rows -> substep_chain -> pack."""
     nv, ng, nr = model.nv, model.ng, model.nr
     idx = [0]
@@ -90,8 +90,12 @@ def _kernel(x_ref, o_ref, *, model, sim_cfg, layout, fixed_base,
     if has_terrain:
         comps["g_h"] = [nxt() for _ in range(ng)]
         comps["g_n"] = [nxt_v3() for _ in range(ng)]
+    if world_boxes is not None:
+        comps["origin"] = nxt_v3()
 
-    out = substep_chain(model, sim_cfg, layout, comps, fixed_base=fixed_base)
+    out = substep_chain(model, sim_cfg, layout, comps, fixed_base=fixed_base,
+                        world_boxes=world_boxes,
+                        world_friction=world_friction)
 
     oidx = [0]
 
@@ -130,6 +134,9 @@ def physics_step_pallas(
     implicit_damp: Optional[jnp.ndarray] = None,
     block_sublanes: int = 4,       # envs per grid step = block_sublanes*128
     interpret: bool = False,
+    world_boxes=None,              # envs.world.WorldBoxes (static consts)
+    env_origin: Optional[jnp.ndarray] = None,      # [N,3] for world_boxes
+    world_friction: float = 1.0,
 ) -> StepOutput:
     """Drop-in replacement for :func:`.soa_physics.physics_step_soa` that
     executes the substep chain as one fused Pallas kernel per env block."""
@@ -175,6 +182,8 @@ def physics_step_pallas(
             ns += [n[..., 0], n[..., 1], n[..., 2]]
         # order must mirror _kernel's reads: all heights, then all normals
         chans += hs + ns
+    if world_boxes is not None:
+        chans += list(_v3(env_origin))
 
     C = len(chans)
     C_out = _out_channels(model)
@@ -187,7 +196,8 @@ def physics_step_pallas(
     kern = functools.partial(
         _kernel, model=model, sim_cfg=sim_cfg, layout=layout,
         fixed_base=fixed_base, has_imp=implicit_damp is not None,
-        has_terrain=terrain is not None)
+        has_terrain=terrain is not None, world_boxes=world_boxes,
+        world_friction=world_friction)
     y = pl.pallas_call(
         kern,
         grid=(npad // blk,),

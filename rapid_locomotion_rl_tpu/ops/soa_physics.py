@@ -77,8 +77,55 @@ def fk_geom_xy(model, layout: LimbLayout, base_pos, base_quat, q
     return out
 
 
+def _box_forces_soa(world_boxes, origin, pg, vg, radius, m_eff, sim_cfg,
+                    friction, dt):
+    """World-box penalty force on one sphere, SoA v3-tuple form — the
+    elementwise mirror of :func:`..envs.world.box_sphere_forces` (one geom
+    row of it), so the SoA/Pallas world path matches the AoS one."""
+    import numpy as _np
+    centers = _np.asarray(world_boxes.centers, _np.float64)
+    halfs = _np.asarray(world_boxes.half_extents, _np.float64)
+    stiffness = sim_cfg.contact_stiffness
+    c_n = sim_cfg.contact_damping + stiffness * dt
+    total = None
+    for i in range(centers.shape[0]):
+        h = [float(halfs[i, a]) for a in range(3)]
+        rel = tuple(pg[a] - (origin[a] + float(centers[i, a]))
+                    for a in range(3))
+        cl = tuple(jnp.clip(rel[a], -h[a], h[a]) for a in range(3))
+        delta = tuple(rel[a] - cl[a] for a in range(3))
+        dist = S.v3_norm(delta, 1e-18)
+        inside = dist < 1e-6
+        fd = tuple(h[a] - jnp.abs(rel[a]) for a in range(3))
+        min_fd = jnp.minimum(fd[0], jnp.minimum(fd[1], fd[2]))
+        # argmin tie-break = first minimal axis (matches jnp.argmin)
+        a0 = (fd[0] <= fd[1]) & (fd[0] <= fd[2])
+        a1 = ~a0 & (fd[1] <= fd[2])
+        a2 = ~a0 & ~a1
+        face_n = (jnp.sign(rel[0]) * a0, jnp.sign(rel[1]) * a1,
+                  jnp.sign(rel[2]) * a2)
+        inv_d = 1.0 / jnp.maximum(dist, 1e-6)
+        n = tuple(jnp.where(inside, face_n[a], delta[a] * inv_d)
+                  for a in range(3))
+        depth = (jnp.maximum(radius - dist, 0.0) * ~inside
+                 + (min_fd + radius) * inside)
+        in_c = depth > 0.0
+        v_n = S.v3_dot(vg, n)
+        v_t = S.v3_sub(vg, S.v3_scale(n, v_n))
+        f_n = jnp.maximum(
+            (stiffness * depth - c_n * v_n) / (1.0 + c_n * dt / m_eff),
+            0.0) * in_c
+        vt_norm = S.v3_norm(v_t, 1e-18)
+        c_t = friction * f_n / (vt_norm + sim_cfg.friction_vel_eps)
+        ft_scale = -(c_t / (1.0 + c_t * dt / m_eff))
+        f = S.v3_add(S.v3_scale(n, f_n), S.v3_scale(v_t, ft_scale))
+        total = f if total is None else S.v3_add(total, f)
+    return total
+
+
 def substep_chain(model, sim_cfg, layout: LimbLayout,
-                  comps: Dict, fixed_base: bool = False) -> Dict:
+                  comps: Dict, fixed_base: bool = False,
+                  world_boxes=None, world_friction: float = 1.0) -> Dict:
     """``num_substeps`` physics substeps as one elementwise chain.
 
     ``comps`` is a dict of SAME-SHAPED arrays (any shape: [N] vectors under
@@ -496,13 +543,36 @@ def substep_chain(model, sim_cfg, layout: LimbLayout,
         f_ext = gather_f_ext(g_force, g_cp if apparent else None,
                              g_tq if apparent else None)
 
+        # ---- world obstacles (envs/world.py; reference
+        # mini_gym/envs/world/world.py:14-121): penalty forces on the same
+        # spheres, applied at the sphere CENTERS (exactly like the AoS
+        # extra_contact hook in ops/physics.py:94-175) -------------------
+        g_wf = None
+        if world_boxes is not None:
+            origin = comps["origin"]
+            g_wf = []
+            for g in range(model.ng):
+                m_eff = float(model.mass[int(model.geom_body[g])])
+                g_wf.append(_box_forces_soa(
+                    world_boxes, origin, g_pos[g], g_vel[g],
+                    float(model.geom_radius[g]), m_eff, sim_cfg,
+                    world_friction, dt))
+            w_ext = gather_f_ext(g_wf)
+            for b in range(model.nb):
+                if w_ext[b] is None:
+                    continue
+                f_ext[b] = (w_ext[b] if f_ext[b] is None
+                            else S.sv_add(f_ext[b], w_ext[b]))
+
         if sub == 0:
             # contact report per report body (world frame)
             rep = [None] * model.nr
             for g in range(model.ng):
                 rb = int(model.geom_report_body[g])
-                rep[rb] = (g_force[g] if rep[rb] is None
-                           else S.v3_add(rep[rb], g_force[g]))
+                f_tot = (g_force[g] if g_wf is None
+                         else S.v3_add(g_force[g], g_wf[g]))
+                rep[rb] = (f_tot if rep[rb] is None
+                           else S.v3_add(rep[rb], f_tot))
             zeros = base_pos[0] * 0.0
             report0 = [r_ if r_ is not None else (zeros, zeros, zeros)
                        for r_ in rep]
@@ -542,6 +612,9 @@ def physics_step_soa(
     terrain: Optional[TerrainGrid],
     fixed_base: bool = False,
     implicit_damp: Optional[jnp.ndarray] = None,   # [N,nv] Kd_eff+dt*Kp_eff
+    world_boxes=None,              # envs.world.WorldBoxes (static consts)
+    env_origin: Optional[jnp.ndarray] = None,      # [N,3] for world_boxes
+    world_friction: float = 1.0,
 ) -> StepOutput:
     layout = layout_for(model)
     assert layout is not None, "SoA path requires a limb-decomposable tree"
@@ -579,7 +652,12 @@ def physics_step_soa(
         comps["g_h"] = g_h
         comps["g_n"] = g_n
 
-    out = substep_chain(model, sim_cfg, layout, comps, fixed_base=fixed_base)
+    if world_boxes is not None:
+        comps["origin"] = _v3(env_origin)
+
+    out = substep_chain(model, sim_cfg, layout, comps, fixed_base=fixed_base,
+                        world_boxes=world_boxes,
+                        world_friction=world_friction)
 
     new_state = SimState(
         base_pos=_stack_v3(out["base_pos"]),

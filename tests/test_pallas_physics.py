@@ -132,6 +132,12 @@ def test_pallas_odd_sublanes_and_env_counts(tiny_model):
     _parity_case(tiny_model, False, False, n=77, block_sublanes=4)
 
 
+def test_pallas_world_boxes(tiny_model):
+    """World obstacle boxes ride through the Pallas kernel (origin
+    channels + in-chain box forces) identically to the SoA path."""
+    _parity_case(tiny_model, False, False, with_world=True)
+
+
 @pytest.mark.slow
 def test_pallas_matches_soa_mc(model):
     """Full mini-cheetah model (42 geoms): ~15 min of eager execution —
@@ -139,7 +145,8 @@ def test_pallas_matches_soa_mc(model):
     _parity_case(model, True, True)
 
 
-def _parity_case(model, with_terrain, with_imp, n=200, block_sublanes=8):
+def _parity_case(model, with_terrain, with_imp, n=200, block_sublanes=8,
+                 with_world=False):
     # default n=200 is NOT a multiple of the env block: exercises padding
     sim = SimCfg()
     state = _state(model, n)
@@ -150,15 +157,25 @@ def _parity_case(model, with_terrain, with_imp, n=200, block_sublanes=8):
                                                         (n, model.nv)),
                        jnp.float32) if with_imp else None)
     grid = _flat_grid() if with_terrain else None
+    wb, origins = None, None
+    if with_world:
+        from rapid_locomotion_rl_tpu.envs.world import default_corridor
+        wb = default_corridor(1.2, 0.5, wall_height=1.0)
+        origins = jnp.zeros((n, 3))
 
     # eager (no jit): the SoA chain takes minutes to COMPILE under LLVM
     # (CLAUDE.md) but runs fine op-by-op; interpret-mode pallas is eager too
     with jax.disable_jit():
         ref = physics_step_soa(model, sim, state, tau, params, grid,
-                               implicit_damp=imp)
+                               implicit_damp=imp, world_boxes=wb,
+                               env_origin=origins)
         out = physics_step_pallas(model, sim, state, tau, params, grid,
                                   implicit_damp=imp, interpret=True,
-                                  block_sublanes=block_sublanes)
+                                  block_sublanes=block_sublanes,
+                                  world_boxes=wb, env_origin=origins)
+    if with_world:
+        # the 0.5 m-wide corridor must actually be hit by some sphere
+        assert np.abs(np.asarray(ref.contact_report)[..., 1]).max() > 0.1
 
     for name in ("base_pos", "base_quat", "base_lin_vel", "base_ang_vel",
                  "q", "qd"):

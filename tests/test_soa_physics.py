@@ -152,3 +152,55 @@ def test_soa_multistep_stable(model, contact_model):
     assert np.all(np.isfinite(np.asarray(state.q)))
     z = np.asarray(state.base_pos[:, 2])
     assert np.all(z > 0.15) and np.all(z < 0.4)
+
+
+def test_soa_world_boxes_matches_aos(model):
+    """World obstacle boxes on the SoA path: the in-chain _box_forces_soa
+    must match the AoS extra_contact hook (envs/world.py
+    box_sphere_forces) — round-5 un-forces physics_impl='aos' for
+    cfg.world.enabled."""
+    from rapid_locomotion_rl_tpu.envs.world import (box_sphere_forces,
+                                                    default_corridor)
+    n = 16
+    sim = SimCfg(contact_model="legacy", num_substeps=1)
+    boxes = default_corridor(3.5, 1.6, wall_height=3.0)
+    state = batched_state(model, n, 7, airborne=True)
+    # park the robots just brushing the inner face of the +y side wall
+    # (y=0.7) with ZERO velocity: wall forces stay moderate, so the
+    # comparison is not dominated by stiff-contact chaos
+    state = state._replace(
+        base_pos=state.base_pos.at[:, 1].set(
+            0.45 + 0.2 * jnp.linspace(0, 1, n)),
+        base_lin_vel=jnp.zeros((n, 3)), base_ang_vel=jnp.zeros((n, 3)),
+        qd=jnp.zeros((n, 12)))
+    params = rand_params(n, 7)
+    tau = jnp.zeros((n, 12))
+    origins = jnp.zeros((n, 3))
+    radius = jnp.asarray(model.geom_radius, jnp.float32)
+
+    def extra(origin, pos, vel, m_eff, dt):
+        return box_sphere_forces(
+            boxes, origin, pos, vel, radius, m_eff,
+            stiffness=sim.contact_stiffness, damping=sim.contact_damping,
+            friction=1.0, friction_vel_eps=sim.friction_vel_eps, dt=dt)
+
+    o1 = jax.vmap(lambda s, t, p, o: physics_step(
+        model, sim, s, t, p, terrain=None, extra_contact=extra,
+        env_origin=o))(state, tau, params, origins)
+    o2 = physics_step_soa(model, sim, state, tau, params, None,
+                          world_boxes=boxes, env_origin=origins,
+                          world_friction=1.0)
+
+    # the wall must actually be touched (force magnitudes are meaningful)
+    rep = np.asarray(o2.contact_report)
+    assert np.abs(rep[..., 1]).max() > 1.0, "no wall contact in fixture"
+
+    def mostly_close(a, b, atol, frac=0.85):
+        a, b = np.asarray(a), np.asarray(b)
+        ok = np.abs(a - b) <= atol + 1e-3 * np.abs(b)
+        assert ok.mean() >= frac, (ok.mean(), np.abs(a - b).max())
+
+    mostly_close(o1.state.q, o2.state.q, 1e-3)
+    mostly_close(o1.state.qd, o2.state.qd, 1e-2)
+    mostly_close(o1.state.base_pos, o2.state.base_pos, 1e-3)
+    mostly_close(o1.state.base_lin_vel, o2.state.base_lin_vel, 1e-2)
