@@ -56,6 +56,11 @@ class PPOArgs:
     lam: float = 0.95
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
+    # linear entropy-coef ramp 0 -> entropy_coef over this many iterations
+    # (0 = constant entropy_coef, reference behavior). See EXPERIMENTS.md
+    # §24-25: the ramp gets reference-style sigma maintenance without the
+    # early death spiral.
+    entropy_warmup_iters: int = 0
 
 
 class PPOState(NamedTuple):
@@ -194,7 +199,8 @@ def compute_gae(traj: Transition, last_values, gamma: float, lam: float):
 # ---------------------------------------------------------------------------
 def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
                traj: Transition, advantages, returns, key,
-               num_train_envs: int, num_curriculum_bins: int = 0
+               num_train_envs: int, num_curriculum_bins: int = 0,
+               entropy_coef=None,
                ) -> Tuple[PPOState, Dict[str, jnp.ndarray]]:
     """5 epochs x 4 minibatches over the flattened train-env transitions
     (ppo.py:94-178). Multi-chip gradient reduction needs no explicit
@@ -257,8 +263,15 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
         else:
             v_loss = jnp.mean((mb["ret"] - value) ** 2)
 
+        # entropy warmup (round 5): a per-iteration traced coefficient —
+        # 0 during the fragile early only-positive-clipped regime, then
+        # the reference's 0.01 (EXPERIMENTS.md §24: constant 0.01 death-
+        # spirals; constant 0 pins sigma at the min_std floor and drags
+        # the adaptive LR down)
+        ent_coef = (ppo_args.entropy_coef if entropy_coef is None
+                    else entropy_coef)
         loss = (surrogate_loss + ppo_args.value_loss_coef * v_loss
-                - ppo_args.entropy_coef * jnp.mean(entropy))
+                - ent_coef * jnp.mean(entropy))
         return loss, dict(value_loss=v_loss, surrogate_loss=surrogate_loss,
                           kl=jax.lax.stop_gradient(kl))
 
@@ -384,13 +397,15 @@ def make_train_functions(env, ac: ActorCritic, ppo_args: PPOArgs,
             metrics[f"_render/{name}"] = arr
         return (env_state, traj, advantages, returns, metrics)
 
-    def update(ppo_state: PPOState, traj, advantages, returns, key):
+    def update(ppo_state: PPOState, traj, advantages, returns, key,
+               entropy_coef=None):
         nbins = (env.curriculum_grid.num_bins
                  if getattr(env, "curriculum_grid", None) is not None
                  and ac.args.use_latent else 0)
         return ppo_update(ac, ppo_args, ppo_state, traj, advantages,
                           returns, key, env.num_train_envs,
-                          num_curriculum_bins=nbins)
+                          num_curriculum_bins=nbins,
+                          entropy_coef=entropy_coef)
 
     return rollout_gae, update
 
@@ -413,23 +428,31 @@ def make_train_iteration(env, ac: ActorCritic, ppo_args: PPOArgs,
         rollout_gae_j = jax.jit(rollout_gae)
         update_j = jax.jit(update)
 
-        def train_iteration_split(env_state, ppo_state: PPOState, key):
+        def train_iteration_split(env_state, ppo_state: PPOState, key,
+                                  entropy_coef=None):
             k_roll, k_update = jax.random.split(key)
             env_state, traj, adv, ret, rollout_metrics = rollout_gae_j(
                 env_state, ppo_state.params, k_roll)
-            ppo_state, update_metrics = update_j(
-                ppo_state, traj, adv, ret, k_update)
+            if entropy_coef is None:
+                ppo_state, update_metrics = update_j(
+                    ppo_state, traj, adv, ret, k_update)
+            else:
+                ppo_state, update_metrics = update_j(
+                    ppo_state, traj, adv, ret, k_update,
+                    entropy_coef=entropy_coef)
             return env_state, ppo_state, {**rollout_metrics,
                                           **update_metrics}
 
         return train_iteration_split
 
-    def train_iteration(env_state, ppo_state: PPOState, key):
+    def train_iteration(env_state, ppo_state: PPOState, key,
+                        entropy_coef=None):
         k_roll, k_update = jax.random.split(key)
         env_state, traj, adv, ret, rollout_metrics = rollout_gae(
             env_state, ppo_state.params, k_roll)
         ppo_state, update_metrics = update(ppo_state, traj, adv, ret,
-                                           k_update)
+                                           k_update,
+                                           entropy_coef=entropy_coef)
         return env_state, ppo_state, {**rollout_metrics, **update_metrics}
 
     return train_iteration

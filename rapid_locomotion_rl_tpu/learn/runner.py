@@ -125,8 +125,18 @@ class Runner:
         tot_iter = self.current_learning_iteration + num_learning_iterations
         for it in range(self.current_learning_iteration, tot_iter):
             self.key, k_it = jax.random.split(self.key)
-            self.env_state, self.ppo_state, metrics = self._train_iter(
-                self.env_state, self.ppo_state, k_it)
+            if self.ppo_args.entropy_warmup_iters > 0:
+                # linear 0 -> entropy_coef ramp (traced scalar: one
+                # compile, per-iteration value)
+                frac = min(1.0, it / float(
+                    self.ppo_args.entropy_warmup_iters))
+                coef = jnp.float32(self.ppo_args.entropy_coef * frac)
+                self.env_state, self.ppo_state, metrics = self._train_iter(
+                    self.env_state, self.ppo_state, k_it,
+                    entropy_coef=coef)
+            else:
+                self.env_state, self.ppo_state, metrics = self._train_iter(
+                    self.env_state, self.ppo_state, k_it)
 
             if it % eval_freq == 0 and self.env.num_eval_envs > 0:
                 self.env_state = self._reset_eval(self.env_state)

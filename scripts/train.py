@@ -26,6 +26,12 @@ def main():
                     help="path to a train_state checkpoint to resume from")
     ap.add_argument("--entropy-coef", type=float, default=None,
                     help="override PPOArgs.entropy_coef")
+    ap.add_argument("--entropy-warmup", type=int, default=None,
+                    help="linear entropy-coef ramp 0 -> entropy_coef over "
+                         "this many iterations (survive the early only-"
+                         "positive-clipped regime with 0, then get the "
+                         "reference's sigma maintenance — EXPERIMENTS.md "
+                         "§24-25)")
     ap.add_argument("--min-std", type=float, default=None,
                     help="exploration floor on the learned action std "
                          "(0 = off; ~0.2 caps the sigma^2 adaptive-LR "
@@ -116,6 +122,8 @@ def main():
     ppo_args = PPOArgs()
     if args.entropy_coef is not None:
         ppo_args.entropy_coef = args.entropy_coef
+    if args.entropy_warmup is not None:
+        ppo_args.entropy_warmup_iters = args.entropy_warmup
     ac_args = None
     if args.min_std is not None:
         from rapid_locomotion_rl_tpu.models.networks import ACArgs

@@ -178,3 +178,43 @@ def test_rollout_without_sim_state():
     assert poses == ()          # no sim state -> no pose log
     assert traj.obs.shape == (4, N, n_obs)
     assert np.isfinite(np.asarray(traj.rewards)).all()
+
+
+def test_entropy_warmup_coefficient():
+    """Round-5 entropy warmup: ppo_update takes a per-iteration traced
+    entropy coefficient; coef=0.0 matches the baked entropy_coef=0.0
+    default exactly, and a large coef moves the std parameter upward
+    (entropy bonus wants sigma large)."""
+    from rapid_locomotion_rl_tpu.learn.ppo import (PPOArgs, Transition,
+                                                   init_ppo_state,
+                                                   ppo_update)
+    ac = ActorCritic(num_obs=8, num_privileged_obs=4, num_obs_history=16,
+                     num_actions=3, args=ACArgs())
+    ppo_args = PPOArgs()
+    key = jax.random.PRNGKey(0)
+    st = init_ppo_state(key, ac, ppo_args, 8, 4, 16)
+    T, N = 4, 4
+    rng = np.random.default_rng(0)
+    r = lambda *s: jnp.asarray(rng.normal(size=s), jnp.float32)  # noqa
+    traj = Transition(
+        obs=r(T, N, 8), privileged_obs=r(T, N, 4), obs_history=r(T, N, 16),
+        actions=r(T, N, 3), rewards=r(T, N),
+        dones=jnp.zeros((T, N), bool), values=r(T, N),
+        log_prob=r(T, N), mu=r(T, N, 3), sigma=jnp.ones((T, N, 3)),
+        env_bins=jnp.zeros((T, N), jnp.int32))
+    adv, ret = r(T, N), r(T, N)
+
+    def std_of(params):
+        leaves = jax.tree_util.tree_map_with_path(
+            lambda p, x: x if p[-1].key == "std" else None, params,
+            is_leaf=lambda x: x is None)
+        return float(np.mean([np.mean(x) for x in jax.tree.leaves(leaves)]))
+
+    s_none, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N)
+    s_zero, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N,
+                           entropy_coef=jnp.float32(0.0))
+    np.testing.assert_allclose(std_of(s_none.params),
+                               std_of(s_zero.params), rtol=1e-6)
+    s_big, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N,
+                          entropy_coef=jnp.float32(5.0))
+    assert std_of(s_big.params) > std_of(s_zero.params)
