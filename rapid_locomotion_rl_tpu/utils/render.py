@@ -92,7 +92,8 @@ def _terrain_patch(terrain, cx, cy, half=0.8, max_pts=24):
 def render_trajectory(model, pos, quat, q, origin, out_path: str,
                       fps: int = 25, stride: int = 2,
                       title: Optional[str] = None,
-                      terrain=None) -> Optional[str]:
+                      terrain=None, marker=None,
+                      view_half: float = 0.6) -> Optional[str]:
     """Render a camera-style GIF of the logged trajectory: stick-figure
     robot, its collision spheres, and (when a TerrainGrid is given) the
     local terrain surface in frame — the parity artifact for the
@@ -131,9 +132,13 @@ def render_trajectory(model, pos, quat, q, origin, out_path: str,
             ax.scatter(sc[:, 0], sc[:, 1], sc[:, 2],
                        s=(sr * 250) ** 1.5, color="tab:orange", alpha=0.7)
         ax.scatter(*c, color="tab:red", s=25)
-        ax.set_xlim(c[0] - 0.6, c[0] + 0.6)
-        ax.set_ylim(c[1] - 0.6, c[1] + 0.6)
-        ax.set_zlim(z0, z0 + 0.8)
+        if marker is not None:
+            # e.g. the HLP navigation goal
+            ax.scatter(marker[0], marker[1], marker[2], color="tab:green",
+                       s=120, marker="*")
+        ax.set_xlim(c[0] - view_half, c[0] + view_half)
+        ax.set_ylim(c[1] - view_half, c[1] + view_half)
+        ax.set_zlim(z0, z0 + max(0.8, view_half * 0.7))
         if title:
             ax.set_title(title)
 
