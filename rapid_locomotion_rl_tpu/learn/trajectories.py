@@ -58,3 +58,54 @@ def split_and_pad_trajectories(tensor: jnp.ndarray, dones: jnp.ndarray
     padded = padded.at[pos, traj_id].set(tensor)
     masks = masks.at[pos, traj_id].set(True)
     return padded, masks
+
+
+def unpad_trajectories(padded: jnp.ndarray, dones: jnp.ndarray,
+                       num_envs: int) -> jnp.ndarray:
+    """Inverse of :func:`split_and_pad_trajectories` (reference
+    utils.py:39-43): gather the per-(t, env) elements back out of the
+    padded trajectory layout. ``dones`` is the SAME [T, N] array the
+    forward pass used (it defines the trajectory mapping)."""
+    T, N = dones.shape[:2]
+    assert N == num_envs
+    d = dones.astype(bool)
+    starts = jnp.concatenate([jnp.ones((1, N), bool), d[:-1]], axis=0)
+    start_count = jnp.cumsum(starts.T.reshape(-1)) - 1
+    traj_id = start_count.reshape(N, T).T
+    t_idx = jnp.broadcast_to(jnp.arange(T)[:, None], (T, N))
+    first_t = jnp.full((T * N,), T, jnp.int32).at[
+        traj_id.T.reshape(-1)].min(t_idx.T.reshape(-1).astype(jnp.int32))
+    pos = t_idx - first_t[traj_id]
+    return padded[pos, traj_id]
+
+
+def recurrent_mini_batches(data: dict, dones: jnp.ndarray,
+                           num_mini_batches: int) -> list:
+    """The reference `reccurent_mini_batch_generator`
+    (rollout_storage.py:142-180), jittable: the env axis is split into
+    ``num_mini_batches`` STATIC groups (mini_batch_size = N //
+    num_mini_batches, exactly the reference's start:stop slices); the
+    observation-like keys (`obs`, `priv`, `hist`) are trajectory-split and
+    padded PER GROUP (same trajectories the reference's data-dependent
+    first_traj:last_traj slicing selects, in a dense static layout), the
+    remaining keys stay [T, mb_envs, ...] flat slices. Returns a list of
+    dicts with an extra ``masks`` entry per batch; iterate it once per
+    epoch like the reference's generator. The reference never enables its
+    recurrent path (dead code), so this exists for API completeness and
+    is exercised by tests only."""
+    T, N = dones.shape[:2]
+    mb = N // num_mini_batches
+    out = []
+    for i in range(num_mini_batches):
+        sl = slice(i * mb, (i + 1) * mb)
+        d = dones[:, sl]
+        batch = {}
+        for k, v in data.items():
+            if k in ("obs", "priv", "hist"):
+                padded, masks = split_and_pad_trajectories(v[:, sl], d)
+                batch[k] = padded
+                batch["masks"] = masks
+            else:
+                batch[k] = v[:, sl]
+        out.append(batch)
+    return out

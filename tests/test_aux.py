@@ -258,3 +258,53 @@ def test_vec_env_adapter():
     assert obs["obs_history"].shape == (4, 630)
     assert adapter.root_states.shape == (4, 13)
     assert "time_outs" in info
+
+
+def test_unpad_trajectories_roundtrip():
+    """unpad(split_and_pad(x)) == x (reference utils.py:39-43)."""
+    from rapid_locomotion_rl_tpu.learn.trajectories import (
+        split_and_pad_trajectories, unpad_trajectories)
+    T_, N = 6, 3
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(T_, N, 4)), jnp.float32)
+    dones = jnp.asarray(rng.random((T_, N)) < 0.3)
+    padded, masks = split_and_pad_trajectories(x, dones)
+    back = unpad_trajectories(padded, dones, N)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x))
+
+
+def test_recurrent_mini_batches():
+    """Recurrent minibatch generator (reference rollout_storage.py:142-180):
+    env groups are static slices; padded obs trajectories cover exactly the
+    group's transitions; flat keys slice through unchanged."""
+    from rapid_locomotion_rl_tpu.learn.trajectories import (
+        recurrent_mini_batches, unpad_trajectories)
+    T_, N, nmb = 5, 8, 4
+    rng = np.random.default_rng(1)
+    data = {
+        "obs": jnp.asarray(rng.normal(size=(T_, N, 3)), jnp.float32),
+        "priv": jnp.asarray(rng.normal(size=(T_, N, 2)), jnp.float32),
+        "hist": jnp.asarray(rng.normal(size=(T_, N, 6)), jnp.float32),
+        "actions": jnp.asarray(rng.normal(size=(T_, N, 2)), jnp.float32),
+        "adv": jnp.asarray(rng.normal(size=(T_, N)), jnp.float32),
+    }
+    dones = jnp.asarray(rng.random((T_, N)) < 0.25)
+    batches = recurrent_mini_batches(data, dones, nmb)
+    assert len(batches) == nmb
+    mbe = N // nmb
+    for i, b in enumerate(batches):
+        sl = slice(i * mbe, (i + 1) * mbe)
+        # flat keys are the reference's start:stop slices
+        np.testing.assert_allclose(np.asarray(b["actions"]),
+                                   np.asarray(data["actions"][:, sl]))
+        np.testing.assert_allclose(np.asarray(b["adv"]),
+                                   np.asarray(data["adv"][:, sl]))
+        # padded obs unpack back to the group's transitions
+        back = unpad_trajectories(b["obs"], dones[:, sl], mbe)
+        np.testing.assert_allclose(np.asarray(back),
+                                   np.asarray(data["obs"][:, sl]))
+        # mask count equals the group's transition count
+        assert int(np.asarray(b["masks"]).sum()) == T_ * mbe
+    # jittable end-to-end
+    f = jax.jit(lambda d, dn: recurrent_mini_batches(d, dn, nmb)[0]["obs"])
+    assert np.all(np.isfinite(np.asarray(f(data, dones))))
