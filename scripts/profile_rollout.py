@@ -110,6 +110,32 @@ def main():
 
     envstep = timeit(envstep_scan, (env_state,), args.iters, "envstep", log)
 
+    # ---- env.step with the command curriculum disabled ------------------
+    # isolates the per-step Grid-Adaptive-Curriculum cost (scatter-adds +
+    # stencil dilation over the 51x2x51 grid + categorical sampling over
+    # 5202 logits x N envs — all dense every step because resampling is
+    # staggered per env)
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.envs.legged_robot import LeggedRobotEnv
+    cfg_nc = config_mini_cheetah()
+    cfg_nc.env.num_envs = args.num_envs
+    if args.plane:
+        cfg_nc.terrain.mesh_type = "plane"
+        cfg_nc.terrain.teleport_robots = False
+    cfg_nc.commands.command_curriculum = False
+    env_nc = LeggedRobotEnv(cfg_nc)
+    state_nc = env_nc.initial_state(jax.random.PRNGKey(2))
+
+    @jax.jit
+    def envstep_nc_scan(state):
+        def body(s, _):
+            s, res = env_nc.step(s, zero_act)
+            return s, res.rew
+        return jax.lax.scan(body, state, None, length=T)
+
+    envstep_nc = timeit(envstep_nc_scan, (state_nc,), args.iters,
+                        "env_nocurr", log)
+
     # ---- bare physics kernel scan (PD + _phys x decimation, no epilogue)
     cfg = env.cfg
     decim = cfg.control.decimation
@@ -166,8 +192,10 @@ def main():
     log(f"[profile] === attribution at {args.num_envs} envs x {T} steps ===")
     log(f"[profile] physics kernel      {physics:8.1f} ms "
         f"({physics / full * 100:4.1f}%)")
-    log(f"[profile] obs/reward epilogue {envstep - physics:8.1f} ms "
-        f"({(envstep - physics) / full * 100:4.1f}%)")
+    log(f"[profile] curriculum/resample {envstep - envstep_nc:8.1f} ms "
+        f"({(envstep - envstep_nc) / full * 100:4.1f}%)")
+    log(f"[profile] obs/reward epilogue {envstep_nc - physics:8.1f} ms "
+        f"({(envstep_nc - physics) / full * 100:4.1f}%)")
     log(f"[profile] policy forward     {policy:8.1f} ms "
         f"({policy / full * 100:4.1f}%)")
     rest = full - envstep - policy
