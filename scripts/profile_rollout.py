@@ -136,6 +136,28 @@ def main():
     envstep_nc = timeit(envstep_nc_scan, (state_nc,), args.iters,
                         "env_nocurr", log)
 
+    # ---- env.step on PLANE terrain (curriculum on) ----------------------
+    # isolates the trimesh cost: heightfield gathers in the contact path
+    # (ng x 4-corner bilinear per control step) + teleport checks. The
+    # go1 plane config trains ~5x faster than the MC trimesh flagship at
+    # matched env counts, so this is the prime suspect.
+    cfg_pl = config_mini_cheetah()
+    cfg_pl.env.num_envs = args.num_envs
+    cfg_pl.terrain.mesh_type = "plane"
+    cfg_pl.terrain.teleport_robots = False
+    env_pl = LeggedRobotEnv(cfg_pl)
+    state_pl = env_pl.initial_state(jax.random.PRNGKey(3))
+
+    @jax.jit
+    def envstep_pl_scan(state):
+        def body(s, _):
+            s, res = env_pl.step(s, zero_act)
+            return s, res.rew
+        return jax.lax.scan(body, state, None, length=T)
+
+    envstep_pl = timeit(envstep_pl_scan, (state_pl,), args.iters,
+                        "env_plane", log)
+
     # ---- bare physics kernel scan (PD + _phys x decimation, no epilogue)
     cfg = env.cfg
     decim = cfg.control.decimation
@@ -194,6 +216,8 @@ def main():
         f"({physics / full * 100:4.1f}%)")
     log(f"[profile] curriculum/resample {envstep - envstep_nc:8.1f} ms "
         f"({(envstep - envstep_nc) / full * 100:4.1f}%)")
+    log(f"[profile] trimesh-vs-plane    {envstep - envstep_pl:8.1f} ms "
+        f"({(envstep - envstep_pl) / full * 100:4.1f}%)")
     log(f"[profile] obs/reward epilogue {envstep_nc - physics:8.1f} ms "
         f"({(envstep_nc - physics) / full * 100:4.1f}%)")
     log(f"[profile] policy forward     {policy:8.1f} ms "
