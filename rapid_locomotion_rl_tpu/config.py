@@ -381,6 +381,13 @@ class SimCfg:
     contact_iterations: int = 1
     foot_radius: float = 0.02           # collision sphere radius [m]
     joint_friction: float = 0.0
+    # Per-env terrain patch size for SoA/Pallas contact sampling: one
+    # contiguous PxP slice gather per env replaces ng x 4 random
+    # single-element gathers into the tens-of-MB height grid (bit-identical
+    # while geoms stay within +-(P/2-1) cells of the base; 16 cells = 0.75 m
+    # at the 0.1 m scale, vs the MC leg reach of ~0.62 m). 0 = direct
+    # per-geom gathers.
+    terrain_patch_size: int = 16
     # physics integration sub-steps per gym-style 0.005 s step
     # The reference physx block runs ONE 5 ms step (substeps=1) — but with
     # 4 TGS position iterations resolving the joint drives. Our single

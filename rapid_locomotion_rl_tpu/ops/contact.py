@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -96,6 +97,73 @@ def terrain_normal(grid: TerrainGrid, x: jnp.ndarray, y: jnp.ndarray
                    ) -> jnp.ndarray:
     """Unit surface normal of the bilinear patch at world (x, y)."""
     return terrain_height_and_normal(grid, x, y)[1]
+
+
+def sample_patch(grid: TerrainGrid, base_x: jnp.ndarray, base_y: jnp.ndarray,
+                 P: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One contiguous P x P height patch per env, centered on the base.
+
+    The full grid is tens of MB in HBM; per-geom bilinear lookups into it
+    are ng x N x 4 random single-element gathers per control step — the
+    dominant trimesh cost (go1's plane config trains ~5x faster than the
+    MC trimesh flagship). A robot's geoms all sit within ~0.6 m of its
+    base, so ONE P x P patch per env (a gather of N contiguous 2-D slices
+    — efficient DMA) serves every geom lookup via
+    :func:`patch_height_and_normal`, bit-identically while the geoms stay
+    inside the patch (P=16 at 0.1 m cells covers +-0.75 m).
+
+    Returns (patch [N, P, P], ix0 [N], iy0 [N])."""
+    h = grid.height
+    s = grid.horizontal_scale
+    fx = (base_x + grid.border_size) / s
+    fy = (base_y + grid.border_size) / s
+    ix0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - P // 2,
+                   0, h.shape[0] - P)
+    iy0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - P // 2,
+                   0, h.shape[1] - P)
+    patch = jax.vmap(
+        lambda i, j: jax.lax.dynamic_slice(h, (i, j), (P, P)))(ix0, iy0)
+    return patch, ix0, iy0
+
+
+def patch_height_and_normal(grid: TerrainGrid, patch: jnp.ndarray,
+                            ix0: jnp.ndarray, iy0: jnp.ndarray,
+                            x: jnp.ndarray, y: jnp.ndarray
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """:func:`terrain_height_and_normal` evaluated out of a per-env patch
+    from :func:`sample_patch`. x, y are [N, ng] world coordinates (ng
+    lookups per env); returns (height [N, ng], normal [N, ng, 3]). Within
+    patch coverage the arithmetic and corner values are identical to the
+    direct version."""
+    N, P = patch.shape[0], patch.shape[1]
+    s = grid.horizontal_scale
+    fx = (x + grid.border_size) / s
+    fy = (y + grid.border_size) / s
+    ix = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0,
+                  grid.height.shape[0] - 2)
+    iy = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0,
+                  grid.height.shape[1] - 2)
+    tx = jnp.clip(fx - ix, 0.0, 1.0)
+    ty = jnp.clip(fy - iy, 0.0, 1.0)
+    rx = jnp.clip(ix - ix0[:, None], 0, P - 2)
+    ry = jnp.clip(iy - iy0[:, None], 0, P - 2)
+    flat = patch.reshape(N, P * P)
+    base = rx * P + ry
+
+    def take(off):
+        return jnp.take_along_axis(flat, base + off, axis=1)
+
+    h00 = take(0)
+    h10 = take(P)
+    h01 = take(1)
+    h11 = take(P + 1)
+    height = ((1 - tx) * (1 - ty) * h00 + tx * (1 - ty) * h10
+              + (1 - tx) * ty * h01 + tx * ty * h11)
+    dhdx = ((1 - ty) * (h10 - h00) + ty * (h11 - h01)) / s
+    dhdy = ((1 - tx) * (h01 - h00) + tx * (h11 - h10)) / s
+    n = jnp.stack((-dhdx, -dhdy, jnp.ones_like(height)), axis=-1)
+    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    return height, n
 
 
 def sample_terrain(model, terrain: Optional[TerrainGrid],

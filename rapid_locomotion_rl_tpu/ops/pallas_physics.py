@@ -35,11 +35,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .contact import TerrainGrid, terrain_height_and_normal
+from .contact import TerrainGrid
 from .dynamics import PhysParams, SimState
 from .limb_dynamics import layout_for
 from .physics import StepOutput
-from .soa_physics import _v3, _stack_v3, fk_geom_xy, substep_chain
+from .soa_physics import _v3, _stack_v3, substep_chain
 
 LANES = 128
 
@@ -175,13 +175,13 @@ def physics_step_pallas(
     if implicit_damp is not None:
         chans += [implicit_damp[:, j] for j in range(nv)]
     if terrain is not None:
-        hs, ns = [], []
-        for (x, y) in fk_geom_xy(model, layout, base_pos, base_quat, q):
-            h, n = terrain_height_and_normal(terrain, x, y)
-            hs.append(h)
-            ns += [n[..., 0], n[..., 1], n[..., 2]]
+        from .soa_physics import _sample_geom_terrain
+        g_h, g_n = _sample_geom_terrain(model, layout, sim_cfg, terrain,
+                                        base_pos, base_quat, q)
         # order must mirror _kernel's reads: all heights, then all normals
-        chans += hs + ns
+        chans += g_h
+        for n3 in g_n:
+            chans += [n3[0], n3[1], n3[2]]
     if world_boxes is not None:
         chans += list(_v3(env_origin))
 

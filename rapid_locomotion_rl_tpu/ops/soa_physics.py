@@ -603,6 +603,31 @@ def substep_chain(model, sim_cfg, layout: LimbLayout,
                 report=report0, geom_pos=geom_pos_out)
 
 
+def _sample_geom_terrain(model, layout, sim_cfg, terrain,
+                         base_pos, base_quat, q):
+    """Per-geom terrain heights/normals as SoA lists: via one contiguous
+    per-env patch (sim_cfg.terrain_patch_size > 0, the TPU fast path —
+    see contact.sample_patch) or direct per-geom gathers (== 0)."""
+    from .contact import patch_height_and_normal, sample_patch
+    xy = fk_geom_xy(model, layout, base_pos, base_quat, q)
+    P = int(getattr(sim_cfg, "terrain_patch_size", 0) or 0)
+    if P > 0:
+        xs = jnp.stack([x for x, _ in xy], axis=-1)       # [N, ng]
+        ys = jnp.stack([y for _, y in xy], axis=-1)
+        patch, ix0, iy0 = sample_patch(terrain, base_pos[0], base_pos[1], P)
+        hh, nn = patch_height_and_normal(terrain, patch, ix0, iy0, xs, ys)
+        g_h = [hh[:, g] for g in range(model.ng)]
+        g_n = [(nn[:, g, 0], nn[:, g, 1], nn[:, g, 2])
+               for g in range(model.ng)]
+        return g_h, g_n
+    g_h, g_n = [], []
+    for (x, y) in xy:
+        h, n = terrain_height_and_normal(terrain, x, y)
+        g_h.append(h)
+        g_n.append((n[..., 0], n[..., 1], n[..., 2]))
+    return g_h, g_n
+
+
 def physics_step_soa(
     model,
     sim_cfg,
@@ -644,13 +669,8 @@ def physics_step_soa(
         # terrain height/normal under every geom, sampled once per control
         # step at the entry state (the only gather; q drift within one
         # control step is negligible — same rule as lam_w)
-        g_h, g_n = [], []
-        for (x, y) in fk_geom_xy(model, layout, base_pos, base_quat, q):
-            h, n = terrain_height_and_normal(terrain, x, y)
-            g_h.append(h)
-            g_n.append((n[..., 0], n[..., 1], n[..., 2]))
-        comps["g_h"] = g_h
-        comps["g_n"] = g_n
+        comps["g_h"], comps["g_n"] = _sample_geom_terrain(
+            model, layout, sim_cfg, terrain, base_pos, base_quat, q)
 
     if world_boxes is not None:
         comps["origin"] = _v3(env_origin)

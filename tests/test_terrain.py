@@ -101,3 +101,36 @@ def test_selected_terrain():
     assert hf.max() > 0          # stairs rise above the border plane
     # the config dict is not mutated (reference pops 'type' destructively)
     assert cfg.terrain.terrain_kwargs["type"] == "pyramid_stairs_terrain"
+
+
+def test_patch_sampling_matches_direct():
+    """sample_patch + patch_height_and_normal == terrain_height_and_normal
+    (bit-level) for lookups within the patch's coverage — the round-5 TPU
+    fast path replacing per-geom random gathers into the full grid."""
+    import jax
+    import jax.numpy as jnp
+    from rapid_locomotion_rl_tpu.ops.contact import (
+        TerrainGrid, patch_height_and_normal, sample_patch,
+        terrain_height_and_normal)
+    rng = np.random.default_rng(0)
+    h = rng.normal(0, 0.2, (64, 80)).astype(np.float32)
+    grid = TerrainGrid(height=jnp.asarray(h), horizontal_scale=0.1,
+                       border_size=1.0, static_friction=1.0,
+                       dynamic_friction=1.0, restitution=0.0)
+    N, ng, P = 12, 7, 16
+    base_x = jnp.asarray(rng.uniform(0.0, 4.0, N), jnp.float32)
+    base_y = jnp.asarray(rng.uniform(0.0, 5.0, N), jnp.float32)
+    # geom offsets within +-0.6 m of the base (inside the 0.75 m coverage)
+    gx = base_x[:, None] + jnp.asarray(rng.uniform(-0.6, 0.6, (N, ng)),
+                                       jnp.float32)
+    gy = base_y[:, None] + jnp.asarray(rng.uniform(-0.6, 0.6, (N, ng)),
+                                       jnp.float32)
+    patch, ix0, iy0 = sample_patch(grid, base_x, base_y, P)
+    hp, np_ = patch_height_and_normal(grid, patch, ix0, iy0, gx, gy)
+    hd, nd = terrain_height_and_normal(grid, gx, gy)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hd))
+    np.testing.assert_array_equal(np.asarray(np_), np.asarray(nd))
+    # out-of-coverage lookups clamp to the patch edge (no crash, finite)
+    far = patch_height_and_normal(grid, patch, ix0, iy0,
+                                  gx + 5.0, gy - 5.0)
+    assert np.all(np.isfinite(np.asarray(far[0])))
