@@ -40,12 +40,16 @@ class PPOArgs:
     value_loss_coef: float = 1.0
     use_clipped_value_loss: bool = True
     clip_param: float = 0.2
-    # the reference uses 0.01 (ppo.py:18); under this stack's contact
-    # dynamics that destabilizes the only-positive-clipped early regime
-    # (std grows 1.0->1.7 and episodes collapse before tracking reward can
-    # take hold — measured in the round-1 A/B); with 0.0 the learned std
-    # still converges to ~0.5 and the reward curve matches the baseline
-    entropy_coef: float = 0.0
+    # the reference's 0.01 (ppo.py:18) — reached through the warmup ramp
+    # below: CONSTANT 0.01 destabilizes the only-positive-clipped early
+    # regime on this physics (std ratchets 1.0 -> 4.3, NaN by it 1250 —
+    # r5_refhp, EXPERIMENTS.md §24), while constant 0 pins sigma at the
+    # min_std floor and drags the adaptive LR to 1e-4 by it 400. The
+    # round-5 default (0.01 ramped over 300 iters + min_std 0.2) beats
+    # the reference's own early curve: command_area 0.125 and
+    # tracking_lin_vel 14.2 at it 1000 vs the reference's 0.115 / 13.3
+    # (EXPERIMENTS.md §25, runs/r5_warmup).
+    entropy_coef: float = 0.01
     num_learning_epochs: int = 5
     num_mini_batches: int = 4
     learning_rate: float = 1e-3
@@ -59,8 +63,9 @@ class PPOArgs:
     # linear entropy-coef ramp 0 -> entropy_coef over this many iterations
     # (0 = constant entropy_coef, reference behavior). See EXPERIMENTS.md
     # §24-25: the ramp gets reference-style sigma maintenance without the
-    # early death spiral.
-    entropy_warmup_iters: int = 0
+    # early death spiral. Applied by the Runner; direct ppo_update callers
+    # get the constant coefficient unless they pass entropy_coef.
+    entropy_warmup_iters: int = 300
 
 
 class PPOState(NamedTuple):

@@ -39,11 +39,13 @@ class ACArgs:
         default_factory=lambda: [256, 128])
     env_factor_encoder_branch_latent_dims: int = 18
     use_latent: bool = True   # HLP copy gates all latent machinery off
-    # Exploration floor on the learned std (0.0 = off, reference parity).
-    # Under entropy_coef=0 the std collapses and drags the adaptive-KL LR
-    # down as sigma^2 (EXPERIMENTS.md §13); a floor of ~0.2 caps that
-    # ratchet without the entropy bonus's runaway failure mode.
-    min_std: float = 0.0
+    # Exploration floor on the learned std (0.0 = off = reference parity).
+    # Default 0.2 (round 5): a safety floor under the entropy-warmup
+    # schedule — with the warmed-up 0.01 entropy bonus sigma settles ~0.5
+    # and the floor is inactive, but it caps the sigma^2 adaptive-LR
+    # ratchet during the zero-entropy warmup window (EXPERIMENTS.md
+    # §13, §24-25).
+    min_std: float = 0.2
 
 
 def _activation(name: str):

@@ -211,10 +211,12 @@ def test_entropy_warmup_coefficient():
         return float(np.mean([np.mean(x) for x in jax.tree.leaves(leaves)]))
 
     s_none, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N)
+    s_same, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N,
+                           entropy_coef=jnp.float32(ppo_args.entropy_coef))
+    np.testing.assert_allclose(std_of(s_none.params),
+                               std_of(s_same.params), rtol=1e-6)
     s_zero, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N,
                            entropy_coef=jnp.float32(0.0))
-    np.testing.assert_allclose(std_of(s_none.params),
-                               std_of(s_zero.params), rtol=1e-6)
     s_big, _ = ppo_update(ac, ppo_args, st, traj, adv, ret, key, N,
                           entropy_coef=jnp.float32(5.0))
     assert std_of(s_big.params) > std_of(s_zero.params)
