@@ -22,8 +22,18 @@ from rapid_locomotion_rl_tpu.models.networks import ACArgs, ActorCritic
 from rapid_locomotion_rl_tpu.utils.checkpoint import load_pytree
 
 CKPT = "runs/ab7_ent0_fixedphys2/checkpoints/ac_weights_last.pkl"
-# round-3 flagship (trained on torsion physics); directional gate below
-CKPT_R3 = "runs/r3_flagship/checkpoints/ac_weights_last.pkl"
+# Directional gate target: the NEWEST flagship trained on the current
+# physics. (The gate originally pinned the round-3 checkpoint; round-4's
+# contact changes — torsional patch, hull fit, deterministic spawn —
+# invalidated that policy's transfer, which is expected for a policy
+# trained on older dynamics and says nothing about current physics.)
+_FLAGSHIPS = (
+    "runs/r5_warmup/checkpoints/ac_weights_last.pkl",
+    "runs/r4_flagship_4000/checkpoints/ac_weights_last.pkl",
+    "runs/r3_flagship/checkpoints/ac_weights_last.pkl",
+)
+CKPT_R3 = next((p for p in _FLAGSHIPS if os.path.exists(p)),
+               _FLAGSHIPS[-1])
 
 
 def _clean_cfg(num_envs=8):
@@ -69,12 +79,12 @@ def test_scripted_trot_propels():
 
 
 @pytest.mark.slow
-def test_round3_policy_tracks_forward():
-    """Directional gate (VERDICT round-2 weak #3): the round-3 flagship must
+def test_flagship_policy_tracks_forward():
+    """Directional gate (VERDICT round-2 weak #3): the newest flagship must
     make real net displacement along a commanded +vx — a spin-circling
     policy fails this."""
     if not os.path.exists(CKPT_R3):
-        pytest.skip("round-3 flagship checkpoint not present yet")
+        pytest.skip("no flagship checkpoint present yet")
     env = LeggedRobotEnv(_clean_cfg(8))
     ac = ActorCritic(env.num_obs, env.num_privileged_obs,
                      env.num_obs_history, env.num_actions, ACArgs())
