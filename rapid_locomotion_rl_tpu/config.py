@@ -388,6 +388,11 @@ class SimCfg:
     # at the 0.1 m scale, vs the MC leg reach of ~0.62 m). 0 = direct
     # per-geom gathers.
     terrain_patch_size: int = 16
+    # how per-geom heights come out of the patch: "mm" = gather-free
+    # batched-einsum bilinear (MXU; the round-5 profile found TPU lowers
+    # element gathers to scalar loads — terrain sampling was ~97% of the
+    # flagship rollout), "take" = take_along_axis corner gathers
+    terrain_lookup: str = "mm"
     # physics integration sub-steps per gym-style 0.005 s step
     # The reference physx block runs ONE 5 ms step (substeps=1) — but with
     # 4 TGS position iterations resolving the joint drives. Our single

@@ -608,14 +608,18 @@ def _sample_geom_terrain(model, layout, sim_cfg, terrain,
     """Per-geom terrain heights/normals as SoA lists: via one contiguous
     per-env patch (sim_cfg.terrain_patch_size > 0, the TPU fast path —
     see contact.sample_patch) or direct per-geom gathers (== 0)."""
-    from .contact import patch_height_and_normal, sample_patch
+    from .contact import (patch_height_and_normal,
+                          patch_height_and_normal_mm, sample_patch)
     xy = fk_geom_xy(model, layout, base_pos, base_quat, q)
     P = int(getattr(sim_cfg, "terrain_patch_size", 0) or 0)
     if P > 0:
         xs = jnp.stack([x for x, _ in xy], axis=-1)       # [N, ng]
         ys = jnp.stack([y for _, y in xy], axis=-1)
         patch, ix0, iy0 = sample_patch(terrain, base_pos[0], base_pos[1], P)
-        hh, nn = patch_height_and_normal(terrain, patch, ix0, iy0, xs, ys)
+        lookup = (patch_height_and_normal_mm
+                  if getattr(sim_cfg, "terrain_lookup", "mm") == "mm"
+                  else patch_height_and_normal)
+        hh, nn = lookup(terrain, patch, ix0, iy0, xs, ys)
         g_h = [hh[:, g] for g in range(model.ng)]
         g_n = [(nn[:, g, 0], nn[:, g, 1], nn[:, g, 2])
                for g in range(model.ng)]

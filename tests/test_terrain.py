@@ -134,3 +134,31 @@ def test_patch_sampling_matches_direct():
     far = patch_height_and_normal(grid, patch, ix0, iy0,
                                   gx + 5.0, gy - 5.0)
     assert np.all(np.isfinite(np.asarray(far[0])))
+
+
+def test_patch_mm_matches_direct():
+    """The gather-free einsum bilinear (patch_height_and_normal_mm) agrees
+    with the direct 4-corner formula to fp-reassociation tolerance."""
+    import jax.numpy as jnp
+    from rapid_locomotion_rl_tpu.ops.contact import (
+        TerrainGrid, patch_height_and_normal_mm, sample_patch,
+        terrain_height_and_normal)
+    rng = np.random.default_rng(3)
+    h = rng.normal(0, 0.2, (64, 80)).astype(np.float32)
+    grid = TerrainGrid(height=jnp.asarray(h), horizontal_scale=0.1,
+                       border_size=1.0, static_friction=1.0,
+                       dynamic_friction=1.0, restitution=0.0)
+    N, ng, P = 12, 7, 16
+    base_x = jnp.asarray(rng.uniform(0.0, 4.0, N), jnp.float32)
+    base_y = jnp.asarray(rng.uniform(0.0, 5.0, N), jnp.float32)
+    gx = base_x[:, None] + jnp.asarray(rng.uniform(-0.6, 0.6, (N, ng)),
+                                       jnp.float32)
+    gy = base_y[:, None] + jnp.asarray(rng.uniform(-0.6, 0.6, (N, ng)),
+                                       jnp.float32)
+    patch, ix0, iy0 = sample_patch(grid, base_x, base_y, P)
+    hp, np_ = patch_height_and_normal_mm(grid, patch, ix0, iy0, gx, gy)
+    hd, nd = terrain_height_and_normal(grid, gx, gy)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(np_), np.asarray(nd),
+                               rtol=1e-4, atol=1e-5)
