@@ -48,6 +48,12 @@ class HLPRewardScales:
     action_rate = -0.01
     lateral_vel = -0.05
     backward_vel = -0.005
+    # Action-magnitude L2 penalty (NOT in the reference; default off).
+    # The reference's action_rate term penalizes CHANGES only, so a
+    # saturated constant command costs nothing — r5_hlp_visible learned
+    # bang-bang +-2 commands with no fine positioning. A small magnitude
+    # cost keeps the commanded velocities in the linear range.
+    action_magnitude = 0.0
     # Potential-based progress shaping (NOT in the reference; default off).
     # r += scale * (dist(last_pos, goal) - dist(pos, goal)) telescopes over
     # the episode, so it is policy-invariant (Ng et al. 1999) — it exists
@@ -109,6 +115,9 @@ class HighLevelControlEnv:
             for k in ("distance", "action_rate", "lateral_vel",
                       "backward_vel")
             if getattr(scales, k) != 0.0}
+        if getattr(scales, "action_magnitude", 0.0) != 0.0:
+            self.step_scales["action_magnitude"] = (
+                getattr(scales, "action_magnitude") * self.dt)
         # progress is a per-step potential DIFFERENCE (telescopes to
         # dist_start - dist_end regardless of step count), so it is not
         # dt-scaled
@@ -201,6 +210,7 @@ class HighLevelControlEnv:
             "lateral_vel": lateral_vel ** 2,
             "backward_vel": backward_vel ** 2,
             "progress": dist_last - dist_now,
+            "action_magnitude": jnp.sum(actions ** 2, axis=-1),
         }
         terminal_terms = {
             "terminal_distance_covered": dist_travelled,

@@ -60,6 +60,11 @@ class PPOArgs:
     lam: float = 0.95
     desired_kl: float = 0.01
     max_grad_norm: float = 1.0
+    # cap of the adaptive-KL LR ratchet (the reference hard-codes 1e-2,
+    # ppo.py:117). The HLP's tanh policy blew its output logits to ~300
+    # with the LR pegged at 1e-2 (runs/r5_hlp_visible — saturated
+    # bang-bang commands, no fine positioning); cap it at 1e-3 there.
+    max_lr: float = 1e-2
     # linear entropy-coef ramp 0 -> entropy_coef over this many iterations
     # (0 = constant entropy_coef, reference behavior). See EXPERIMENTS.md
     # §24-25: the ramp gets reference-style sigma maintenance without the
@@ -300,7 +305,7 @@ def ppo_update(ac: ActorCritic, ppo_args: PPOArgs, state: PPOState,
             lr = jnp.where(kl > ppo_args.desired_kl * 2.0,
                            jnp.maximum(1e-5, lr / 1.5), lr)
             lr = jnp.where((kl < ppo_args.desired_kl / 2.0) & (kl > 0.0),
-                           jnp.minimum(1e-2, lr * 1.5), lr)
+                           jnp.minimum(ppo_args.max_lr, lr * 1.5), lr)
 
         updates, opt_state = tx.update(grads, opt_state, params)
         updates = jax.tree.map(lambda u: u * lr, updates)

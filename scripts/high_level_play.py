@@ -42,6 +42,14 @@ def main():
                     help="potential-based distance-progress shaping "
                          "(envs/hlp.py HLPRewardScales.progress; 0 = "
                          "reference parity)")
+    ap.add_argument("--action-magnitude-scale", type=float, default=0.0,
+                    help="L2 penalty on commanded velocities (0 = "
+                         "reference parity; the reference's action_rate "
+                         "term lets saturated constant commands ride free)")
+    ap.add_argument("--max-lr", type=float, default=None,
+                    help="cap of the adaptive-KL LR ratchet (reference "
+                         "1e-2; 1e-3 prevents the tanh policy's output "
+                         "blow-up seen in r5_hlp_visible)")
     args = ap.parse_args()
 
     from rapid_locomotion_rl_tpu.config import Cfg
@@ -75,6 +83,7 @@ def main():
 
     class _Scales(HLPRewardScales):
         progress = args.progress_scale
+        action_magnitude = args.action_magnitude_scale
 
     env = HighLevelControlEnv(
         ll_env, ll_params,
@@ -88,10 +97,15 @@ def main():
         stamp = datetime.now().strftime("%Y-%m-%d/%H%M%S.%f")
         args.logdir = f"runs/rapid-locomotion/high_level/{stamp}"
 
+    ppo_args = None
+    if args.max_lr is not None:
+        from rapid_locomotion_rl_tpu.learn.ppo import PPOArgs
+        ppo_args = PPOArgs(max_lr=args.max_lr)
     runner = Runner(
         env, logdir=args.logdir,
         ac_args=ACArgs(activation="tanh", use_latent=False,
                        min_std=args.min_std),
+        ppo_args=ppo_args,
         runner_args=RunnerArgs(num_steps_per_env=200),
         eval_expert=True)
     if args.resume:
