@@ -224,9 +224,16 @@ class LeggedRobotEnv:
             pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1)
             self.height_points = jnp.asarray(pts, jnp.float32)  # [nhp,3]
             self.num_height_points = gx.size
+            # patch size for the gather-free sensing path: cover the
+            # yaw-rotated sample grid (max radius) plus slack, rounded to
+            # a sublane multiple
+            r = float(np.max(np.linalg.norm(pts[:, :2], axis=-1)))
+            cells = int(np.ceil(r / cfg.terrain.horizontal_scale)) + 3
+            self._sense_patch_P = max(8, -(-2 * cells // 8) * 8)
         else:
             self.height_points = None
             self.num_height_points = 1   # placeholder column (zeros)
+            self._sense_patch_P = 0
 
         # ---- obs scaling & noise ---------------------------------------
         os_ = cfg.normalization.obs_scales
@@ -566,6 +573,18 @@ class LeggedRobotEnv:
         pts = Q.quat_apply_yaw(sim.base_quat[:, None, :],
                                self.height_points[None, :, :])
         pts = pts + sim.base_pos[:, None, :]
+        # gather-free patch path (TPU lowers element gathers to scalar
+        # loads — see contact.terrain_height_min3_patch); direct gathers
+        # only when the patch scheme is disabled
+        if (getattr(self.cfg.sim, "terrain_patch_size", 0)
+                and getattr(self.cfg.sim, "terrain_lookup", "mm") == "mm"
+                and self._sense_patch_P
+                and min(self.terrain_grid.height.shape)
+                >= self._sense_patch_P):
+            from ..ops.contact import terrain_height_min3_patch
+            return terrain_height_min3_patch(
+                self.terrain_grid, sim.base_pos[:, 0], sim.base_pos[:, 1],
+                pts[..., 0], pts[..., 1], self._sense_patch_P)
         return terrain_height_min3(self.terrain_grid,
                                    pts[..., 0], pts[..., 1])
 

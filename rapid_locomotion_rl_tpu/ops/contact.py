@@ -65,6 +65,44 @@ def terrain_height_min3(grid: TerrainGrid, x: jnp.ndarray, y: jnp.ndarray
     return jnp.minimum(jnp.minimum(h[ix, iy], h[ix + 1, iy]), h[ix, iy + 1])
 
 
+def terrain_height_min3_patch(grid: TerrainGrid, base_x: jnp.ndarray,
+                              base_y: jnp.ndarray, x: jnp.ndarray,
+                              y: jnp.ndarray, P: int = 32) -> jnp.ndarray:
+    """:func:`terrain_height_min3` with ZERO element gathers: one
+    contiguous P x P patch per env (:func:`sample_patch`) and the three
+    min-taps as one-hot row/col einsums over it (MXU work, like
+    :func:`patch_height_and_normal_mm`).
+
+    Exists because the observation height sensor was the LAST per-element
+    gather in the hot loop: N x num_height_points x 3 scalar loads into
+    the tens-of-MB grid per env step (4000 x 187 x 3 = 2.2M/step at the
+    flagship) kept the rollout terrain-bound (544 of 604 ms/iter) after
+    the contact path moved to the patch scheme. x, y are [N, npts] world
+    coordinates; P must cover the yaw-rotated sample grid's radius
+    (caller sizes it from the measured-points extent). Bit-identical to
+    the direct version while every point lands inside the patch."""
+    patch, ix0, iy0 = sample_patch(grid, base_x, base_y, P)
+    h = grid.height
+    s = grid.horizontal_scale
+    ix = jnp.clip(((x + grid.border_size) / s).astype(jnp.int32),
+                  0, h.shape[0] - 2)
+    iy = jnp.clip(((y + grid.border_size) / s).astype(jnp.int32),
+                  0, h.shape[1] - 2)
+    rx = jnp.clip(ix - ix0[:, None], 0, P - 2)
+    ry = jnp.clip(iy - iy0[:, None], 0, P - 2)
+    ar = jnp.arange(P, dtype=jnp.int32)
+    r0 = (rx[..., None] == ar).astype(patch.dtype)       # [N, npts, P]
+    r1 = (rx[..., None] + 1 == ar).astype(patch.dtype)
+    c0 = (ry[..., None] == ar).astype(patch.dtype)
+    c1 = (ry[..., None] + 1 == ar).astype(patch.dtype)
+    # taps (ix,iy), (ix+1,iy), (ix,iy+1) — rows r0,r1,r0 / cols c0,c0,c1
+    R = jnp.stack([r0, r1, r0], axis=2)                  # [N, npts, 3, P]
+    C = jnp.stack([c0, c0, c1], axis=2)
+    tmp = jnp.einsum("npkr,nrc->npkc", R, patch)
+    taps = jnp.einsum("npkc,npkc->npk", tmp, C)
+    return jnp.min(taps, axis=-1)
+
+
 def terrain_height_and_normal(grid: TerrainGrid, x: jnp.ndarray,
                               y: jnp.ndarray
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -162,3 +162,33 @@ def test_patch_mm_matches_direct():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(np_), np.asarray(nd),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_min3_patch_matches_direct():
+    """terrain_height_min3_patch (one-hot einsum taps, zero element
+    gathers) is bit-identical to terrain_height_min3 for points inside
+    the patch coverage — the observation height sensor's TPU fast path."""
+    import jax.numpy as jnp
+    from rapid_locomotion_rl_tpu.ops.contact import (
+        TerrainGrid, terrain_height_min3, terrain_height_min3_patch)
+    rng = np.random.default_rng(7)
+    h = rng.normal(0, 0.2, (64, 80)).astype(np.float32)
+    grid = TerrainGrid(height=jnp.asarray(h), horizontal_scale=0.1,
+                       border_size=1.0, static_friction=1.0,
+                       dynamic_friction=1.0, restitution=0.0)
+    N, npts, P = 12, 33, 24
+    base_x = jnp.asarray(rng.uniform(0.0, 4.0, N), jnp.float32)
+    base_y = jnp.asarray(rng.uniform(0.0, 5.0, N), jnp.float32)
+    # sensed points within +-0.95 m (MC sample-grid radius) of the base;
+    # P=24 covers +-1.1 m after the floor offset
+    px = base_x[:, None] + jnp.asarray(rng.uniform(-0.95, 0.95, (N, npts)),
+                                       jnp.float32)
+    py = base_y[:, None] + jnp.asarray(rng.uniform(-0.95, 0.95, (N, npts)),
+                                       jnp.float32)
+    hp = terrain_height_min3_patch(grid, base_x, base_y, px, py, P)
+    hd = terrain_height_min3(grid, px, py)
+    np.testing.assert_array_equal(np.asarray(hp), np.asarray(hd))
+    # bases at the grid border still produce finite (edge-clamped) taps
+    hb = terrain_height_min3_patch(grid, base_x * 0.0 - 1.0,
+                                   base_y * 0.0 - 1.0, px, py, P)
+    assert np.all(np.isfinite(np.asarray(hb)))
