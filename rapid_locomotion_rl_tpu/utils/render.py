@@ -93,11 +93,26 @@ def render_trajectory(model, pos, quat, q, origin, out_path: str,
                       fps: int = 25, stride: int = 2,
                       title: Optional[str] = None,
                       terrain=None, marker=None,
-                      view_half: float = 0.6) -> Optional[str]:
-    """Render a camera-style GIF of the logged trajectory: stick-figure
-    robot, its collision spheres, and (when a TerrainGrid is given) the
-    local terrain surface in frame — the parity artifact for the
-    reference's camera frames (legged_robot.py:1332-1355)."""
+                      view_half: float = 0.6,
+                      style: str = "rgb") -> Optional[str]:
+    """Render a camera-style GIF of the logged trajectory — the parity
+    artifact for the reference's camera frames (legged_robot.py:1332-1355).
+
+    style="rgb" (default) uses the z-buffered software rasterizer
+    (:mod:`.raster`): shaded RGB chase-camera frames of the robot's
+    collision geometry and terrain. style="stick" (also the fallback if
+    the raster path fails) draws the matplotlib stick figure."""
+    if style == "rgb":
+        try:
+            from .raster import render_trajectory_rgb
+            got = render_trajectory_rgb(
+                model, np.asarray(pos), np.asarray(quat), np.asarray(q),
+                out_path, terrain=terrain, fps=fps, stride=stride,
+                marker=marker, cam_scale=max(1.0, view_half / 0.6))
+            if got:
+                return got
+        except Exception as e:  # noqa: BLE001 - fall back to stick figure
+            print(f"[render] rgb raster failed ({e}); stick-figure fallback")
     try:
         import matplotlib
         matplotlib.use("Agg")

@@ -21,6 +21,12 @@ fi
 
 mark "=== round-5 queue E start ==="
 
+mark "START bench_v2"
+BENCH_SIZES=4000,1024,8192 BENCH_PALLAS=0 BENCH_BUDGET_S=1200 \
+    timeout 1800 python bench.py \
+    > /tmp/bench_r5e2.out 2> /tmp/bench_r5e2.err
+mark "END bench_v2 rc=$?"
+
 mark "START r5_hlp2"
 mkdir -p runs/r5_hlp2
 timeout 7200 python scripts/high_level_play.py \
