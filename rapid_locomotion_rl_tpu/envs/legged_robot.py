@@ -298,10 +298,15 @@ class LeggedRobotEnv:
             self._world_contact = _world_contact
         _wb = self.world_boxes
         _wmu = cfg.terrain.static_friction
+        # SoA/Pallas accept a hoisted terrain patch (sampled once per env
+        # step in step(), reused across the decimation substeps — the
+        # patch gather costs one DMA fragment per row per env, so calls
+        # are the dominant factor)
+        self._phys_takes_patch = impl in ("soa", "pallas")
         if impl == "pallas":
             from ..ops.pallas_physics import physics_step_pallas
 
-            def _phys(sim, tau, pp, imp, origin=None):
+            def _phys(sim, tau, pp, imp, origin=None, patch=None):
                 return physics_step_pallas(
                     self.model, cfg.sim, sim, tau, pp,
                     terrain=self.collision_grid,
@@ -311,19 +316,19 @@ class LeggedRobotEnv:
                                            4),
                     interpret=jax.default_backend() == "cpu",
                     world_boxes=_wb, env_origin=origin,
-                    world_friction=_wmu)
+                    world_friction=_wmu, terrain_patch=patch)
             self._phys = _phys
         elif impl == "soa":
             from ..ops.soa_physics import physics_step_soa
 
-            def _phys(sim, tau, pp, imp, origin=None):
+            def _phys(sim, tau, pp, imp, origin=None, patch=None):
                 return physics_step_soa(
                     self.model, cfg.sim, sim, tau, pp,
                     terrain=self.collision_grid,
                     fixed_base=cfg.asset.fix_base_link,
                     implicit_damp=imp,
                     world_boxes=_wb, env_origin=origin,
-                    world_friction=_wmu)
+                    world_friction=_wmu, terrain_patch=patch)
             self._phys = _phys
         elif self.world_boxes is not None:
             self._phys = jax.vmap(lambda s, t, p, i, o: physics_step(
@@ -709,13 +714,34 @@ class LeggedRobotEnv:
         else:
             imp = jnp.zeros((N, self.num_dof))
 
+        # hoisted terrain patch: ONE contiguous slice gather per env step
+        # instead of one per control substep (the gather's cost is per
+        # row-fragment DMA, so call count dominates). +8 cells of slack
+        # cover base drift over the decimated step (<= 6 cm) on top of
+        # the geom-reach coverage argument in config.terrain_patch_size.
+        patch3 = None
+        if (self._phys_takes_patch and self.collision_grid is not None
+                and int(getattr(cfg.sim, "terrain_patch_size", 0) or 0) > 0):
+            from ..ops.contact import sample_patch
+            P_h = int(cfg.sim.terrain_patch_size) + 8
+            if min(self.collision_grid.height.shape) >= P_h:
+                patch3 = sample_patch(self.collision_grid,
+                                      sim.base_pos[:, 0], sim.base_pos[:, 1],
+                                      P_h)
+
         def decim_body(carry, _):
             sim, torques, target, report = carry
             torques, target = self._compute_torques(
                 actions, sim, state.dr, last_dof_vel=state.last_dof_vel)
-            if self.world_boxes is not None:
+            if self.world_boxes is not None and patch3 is not None:
+                out = self._phys(sim, torques, phys_params, imp,
+                                 state.env_origins, patch=patch3)
+            elif self.world_boxes is not None:
                 out = self._phys(sim, torques, phys_params, imp,
                                  state.env_origins)
+            elif patch3 is not None:
+                out = self._phys(sim, torques, phys_params, imp,
+                                 patch=patch3)
             else:
                 out = self._phys(sim, torques, phys_params, imp)
             return (out.state, torques, target, out.contact_report), None

@@ -137,6 +137,7 @@ def physics_step_pallas(
     world_boxes=None,              # envs.world.WorldBoxes (static consts)
     env_origin: Optional[jnp.ndarray] = None,      # [N,3] for world_boxes
     world_friction: float = 1.0,
+    terrain_patch=None,            # optional hoisted (patch, ix0, iy0)
 ) -> StepOutput:
     """Drop-in replacement for :func:`.soa_physics.physics_step_soa` that
     executes the substep chain as one fused Pallas kernel per env block."""
@@ -177,7 +178,8 @@ def physics_step_pallas(
     if terrain is not None:
         from .soa_physics import _sample_geom_terrain
         g_h, g_n = _sample_geom_terrain(model, layout, sim_cfg, terrain,
-                                        base_pos, base_quat, q)
+                                        base_pos, base_quat, q,
+                                        patch3=terrain_patch)
         # order must mirror _kernel's reads: all heights, then all normals
         chans += g_h
         for n3 in g_n:

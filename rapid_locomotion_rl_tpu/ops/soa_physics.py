@@ -604,14 +604,33 @@ def substep_chain(model, sim_cfg, layout: LimbLayout,
 
 
 def _sample_geom_terrain(model, layout, sim_cfg, terrain,
-                         base_pos, base_quat, q):
+                         base_pos, base_quat, q, patch3=None):
     """Per-geom terrain heights/normals as SoA lists: via one contiguous
     per-env patch (sim_cfg.terrain_patch_size > 0, the TPU fast path —
-    see contact.sample_patch) or direct per-geom gathers (== 0)."""
+    see contact.sample_patch) or direct per-geom gathers (== 0).
+
+    patch3: optional precomputed (patch, ix0, iy0) from sample_patch —
+    the round-5 hoist: the patch gather's cost is per-ROW-fragment (N x
+    P_rows DMA descriptors per call), so the env sampling it once per
+    env step instead of once per control substep cuts the dominant
+    rollout cost ~4x. The per-geom bilinear lookup below still runs at
+    the current substep state."""
     from .contact import (patch_height_and_normal,
                           patch_height_and_normal_mm, sample_patch)
     xy = fk_geom_xy(model, layout, base_pos, base_quat, q)
     P = int(getattr(sim_cfg, "terrain_patch_size", 0) or 0)
+    if patch3 is not None and P > 0:
+        patch, ix0, iy0 = patch3
+        xs = jnp.stack([x for x, _ in xy], axis=-1)       # [N, ng]
+        ys = jnp.stack([y for _, y in xy], axis=-1)
+        lookup = (patch_height_and_normal_mm
+                  if getattr(sim_cfg, "terrain_lookup", "mm") == "mm"
+                  else patch_height_and_normal)
+        hh, nn = lookup(terrain, patch, ix0, iy0, xs, ys)
+        g_h = [hh[:, g] for g in range(model.ng)]
+        g_n = [(nn[:, g, 0], nn[:, g, 1], nn[:, g, 2])
+               for g in range(model.ng)]
+        return g_h, g_n
     if P > 0:
         xs = jnp.stack([x for x, _ in xy], axis=-1)       # [N, ng]
         ys = jnp.stack([y for _, y in xy], axis=-1)
@@ -644,6 +663,7 @@ def physics_step_soa(
     world_boxes=None,              # envs.world.WorldBoxes (static consts)
     env_origin: Optional[jnp.ndarray] = None,      # [N,3] for world_boxes
     world_friction: float = 1.0,
+    terrain_patch=None,            # optional hoisted (patch, ix0, iy0)
 ) -> StepOutput:
     layout = layout_for(model)
     assert layout is not None, "SoA path requires a limb-decomposable tree"
@@ -674,7 +694,8 @@ def physics_step_soa(
         # step at the entry state (the only gather; q drift within one
         # control step is negligible — same rule as lam_w)
         comps["g_h"], comps["g_n"] = _sample_geom_terrain(
-            model, layout, sim_cfg, terrain, base_pos, base_quat, q)
+            model, layout, sim_cfg, terrain, base_pos, base_quat, q,
+            patch3=terrain_patch)
 
     if world_boxes is not None:
         comps["origin"] = _v3(env_origin)

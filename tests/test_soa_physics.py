@@ -204,3 +204,44 @@ def test_soa_world_boxes_matches_aos(model):
     mostly_close(o1.state.qd, o2.state.qd, 1e-2)
     mostly_close(o1.state.base_pos, o2.state.base_pos, 1e-3)
     mostly_close(o1.state.base_lin_vel, o2.state.base_lin_vel, 1e-2)
+
+
+def test_sample_geom_terrain_hoisted_patch_matches(model):
+    """The round-5 hoist: _sample_geom_terrain fed a precomputed
+    (patch, ix0, iy0) — sampled once per env step with +8 cells of
+    drift slack — must agree with its own per-call patch sampling."""
+    from rapid_locomotion_rl_tpu.config import config_mini_cheetah
+    from rapid_locomotion_rl_tpu.ops.contact import TerrainGrid, sample_patch
+    from rapid_locomotion_rl_tpu.ops.limb_dynamics import layout_for
+    from rapid_locomotion_rl_tpu.ops.soa_physics import (_sample_geom_terrain,
+                                                         _v3)
+
+    layout = layout_for(model)
+    assert layout is not None
+    rng = np.random.default_rng(11)
+    h = rng.normal(0, 0.15, (96, 96)).astype(np.float32)
+    grid = TerrainGrid(height=jnp.asarray(h), horizontal_scale=0.1,
+                       border_size=2.0, static_friction=1.0,
+                       dynamic_friction=1.0, restitution=0.0)
+    n = 9
+    state = batched_state(model, n, seed=4)
+    # keep bases over the grid interior
+    state = state._replace(base_pos=state.base_pos + jnp.asarray([3.0, 3.0, 0.0]))
+    sim_cfg = config_mini_cheetah().sim
+    base_pos = _v3(state.base_pos)
+    base_quat = tuple(state.base_quat[:, i] for i in range(4))
+    q = [state.q[:, j] for j in range(model.nv)]
+
+    g_h1, g_n1 = _sample_geom_terrain(model, layout, sim_cfg, grid,
+                                      base_pos, base_quat, q)
+    patch3 = sample_patch(grid, base_pos[0], base_pos[1],
+                          int(sim_cfg.terrain_patch_size) + 8)
+    g_h2, g_n2 = _sample_geom_terrain(model, layout, sim_cfg, grid,
+                                      base_pos, base_quat, q, patch3=patch3)
+    for a, b in zip(g_h1, g_h2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    for na, nb in zip(g_n1, g_n2):
+        for ca, cb in zip(na, nb):
+            np.testing.assert_allclose(np.asarray(ca), np.asarray(cb),
+                                       rtol=1e-5, atol=1e-6)
