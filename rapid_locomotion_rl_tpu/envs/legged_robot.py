@@ -303,6 +303,16 @@ class LeggedRobotEnv:
         # patch gather costs one DMA fragment per row per env, so calls
         # are the dominant factor)
         self._phys_takes_patch = impl in ("soa", "pallas")
+        # overlapped column-block grid view: makes the per-env patch ONE
+        # contiguous DMA fragment (contact.make_col_blocks; mm lookups
+        # handle the rectangular [32, 128] patch)
+        self._col_blocks = None
+        if (self._phys_takes_patch and self.collision_grid is not None
+                and getattr(cfg.sim, "terrain_lookup", "mm") == "mm"
+                and int(getattr(cfg.sim, "terrain_patch_size", 0) or 0) > 0
+                and self.collision_grid.height.shape[0] >= 32):
+            from ..ops.contact import make_col_blocks
+            self._col_blocks = make_col_blocks(self.collision_grid)
         if impl == "pallas":
             from ..ops.pallas_physics import physics_step_pallas
 
@@ -720,7 +730,13 @@ class LeggedRobotEnv:
         # cover base drift over the decimated step (<= 6 cm) on top of
         # the geom-reach coverage argument in config.terrain_patch_size.
         patch3 = None
-        if (self._phys_takes_patch and self.collision_grid is not None
+        if self._col_blocks is not None:
+            from ..ops.contact import sample_patch_blocked
+            patch3 = sample_patch_blocked(self._col_blocks,
+                                          self.collision_grid,
+                                          sim.base_pos[:, 0],
+                                          sim.base_pos[:, 1])
+        elif (self._phys_takes_patch and self.collision_grid is not None
                 and int(getattr(cfg.sim, "terrain_patch_size", 0) or 0) > 0):
             from ..ops.contact import sample_patch
             P_h = int(cfg.sim.terrain_patch_size) + 8

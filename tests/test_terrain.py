@@ -192,3 +192,44 @@ def test_min3_patch_matches_direct():
     hb = terrain_height_min3_patch(grid, base_x * 0.0 - 1.0,
                                    base_y * 0.0 - 1.0, px, py, P)
     assert np.all(np.isfinite(np.asarray(hb)))
+
+
+def test_blocked_patch_matches_direct():
+    """sample_patch_blocked (overlapped column blocks, one contiguous
+    DMA fragment per env) + the rectangular col-first mm lookup must
+    agree with the direct grid formula — including bases sitting right
+    at block-stride boundaries."""
+    import jax.numpy as jnp
+    from rapid_locomotion_rl_tpu.ops.contact import (
+        TerrainGrid, make_col_blocks, patch_height_and_normal,
+        patch_height_and_normal_mm, sample_patch_blocked,
+        terrain_height_and_normal)
+    rng = np.random.default_rng(5)
+    h = rng.normal(0, 0.2, (64, 200)).astype(np.float32)
+    grid = TerrainGrid(height=jnp.asarray(h), horizontal_scale=0.1,
+                       border_size=1.0, static_friction=1.0,
+                       dynamic_friction=1.0, restitution=0.0)
+    blocks = make_col_blocks(grid)
+    assert blocks is not None and blocks.shape[2] == 128
+    N, ng = 16, 7
+    base_x = jnp.asarray(rng.uniform(0.5, 4.5, N), jnp.float32)
+    # include exact stride-boundary bases (col offsets 0/64/128 of the
+    # grid = world y of -1.0 + 6.4k) among random ones
+    base_y = jnp.asarray(
+        np.concatenate([rng.uniform(0.0, 17.0, N - 4),
+                        [5.4, 11.8, 0.2, 12.0]]), jnp.float32)
+    gx = base_x[:, None] + jnp.asarray(rng.uniform(-0.9, 0.9, (N, ng)),
+                                       jnp.float32)
+    gy = base_y[:, None] + jnp.asarray(rng.uniform(-0.9, 0.9, (N, ng)),
+                                       jnp.float32)
+    patch, ix0, iy0 = sample_patch_blocked(blocks, grid, base_x, base_y)
+    assert patch.shape == (N, 32, 128)
+    hp, np_ = patch_height_and_normal_mm(grid, patch, ix0, iy0, gx, gy)
+    hd, nd = terrain_height_and_normal(grid, gx, gy)
+    np.testing.assert_allclose(np.asarray(hp), np.asarray(hd),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(np_), np.asarray(nd),
+                               rtol=1e-4, atol=1e-5)
+    # the take-variant must also handle the rectangular patch
+    ht, nt = patch_height_and_normal(grid, patch, ix0, iy0, gx, gy)
+    np.testing.assert_array_equal(np.asarray(ht), np.asarray(hd))
