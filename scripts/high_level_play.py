@@ -50,6 +50,12 @@ def main():
                     help="cap of the adaptive-KL LR ratchet (reference "
                          "1e-2; 1e-3 prevents the tanh policy's output "
                          "blow-up seen in r5_hlp_visible)")
+    ap.add_argument("--entropy-coef", type=float, default=None,
+                    help="override PPOArgs.entropy_coef (no warmup). The "
+                         "r5_hlp2 arm showed the default 0.01 ratchets the "
+                         "2-dim command std to 20+ (the sigma pathology of "
+                         "EXPERIMENTS.md 24 in HLP form); 0.0 with "
+                         "--min-std 0.2 is the proven recipe")
     args = ap.parse_args()
 
     from rapid_locomotion_rl_tpu.config import Cfg
@@ -98,9 +104,15 @@ def main():
         args.logdir = f"runs/rapid-locomotion/high_level/{stamp}"
 
     ppo_args = None
-    if args.max_lr is not None:
+    if args.max_lr is not None or args.entropy_coef is not None:
         from rapid_locomotion_rl_tpu.learn.ppo import PPOArgs
-        ppo_args = PPOArgs(max_lr=args.max_lr)
+        kw = {}
+        if args.max_lr is not None:
+            kw["max_lr"] = args.max_lr
+        if args.entropy_coef is not None:
+            kw["entropy_coef"] = args.entropy_coef
+            kw["entropy_warmup_iters"] = 0
+        ppo_args = PPOArgs(**kw)
     runner = Runner(
         env, logdir=args.logdir,
         ac_args=ACArgs(activation="tanh", use_latent=False,
