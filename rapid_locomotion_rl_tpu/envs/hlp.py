@@ -93,7 +93,8 @@ class HighLevelControlEnv:
                  goal=(3.0, 0.0), train_frac: float = 0.95,
                  zero_reward_on_reset: bool = True,
                  scales: type = HLPRewardScales,
-                 ll_ac_args: ACArgs = None):
+                 ll_ac_args: ACArgs = None,
+                 dead_zone: float = 0.2):
         assert not ll_env.cfg.env.auto_reset, \
             "the low-level env must be built with env.auto_reset=False"
         self.ll_env = ll_env
@@ -109,6 +110,13 @@ class HighLevelControlEnv:
         self.max_episode_length = int(self.max_episode_length_s / self.dt)
         self.goal = jnp.asarray(goal, jnp.float32)
         self.zero_reward_on_reset = zero_reward_on_reset
+        # Reference zeroes xy commands with norm <= 0.2
+        # (high_level_play.py:133). That flat spot freezes any policy
+        # whose approach gain k satisfies k*dist < 0.2 before dist < 0.1:
+        # the round-5 probe showed r5_hlp4 stalls at ~1.1 m with
+        # |cmd| ~ 0.16 forever. dead_zone=0 removes the flat spot
+        # (documented deviation arm; default keeps reference parity).
+        self.dead_zone = float(dead_zone)
 
         self.step_scales = {
             k: getattr(scales, k) * self.dt
@@ -170,8 +178,10 @@ class HighLevelControlEnv:
         N = self.num_envs
         # clamp + zero small commands (reference :132-133)
         actions = jnp.clip(actions, -2.0, 2.0)
-        keep = (jnp.linalg.norm(actions[:, :2], axis=-1) > 0.2)[:, None]
-        actions = actions.at[:, :2].multiply(keep.astype(actions.dtype))
+        if self.dead_zone > 0.0:
+            keep = (jnp.linalg.norm(actions[:, :2], axis=-1)
+                    > self.dead_zone)[:, None]
+            actions = actions.at[:, :2].multiply(keep.astype(actions.dtype))
 
         # frozen low-level student policy (act_inference path, :134-138)
         ll = state.ll._replace(

@@ -19,6 +19,7 @@ def main():
     ap.add_argument("--ll-run", default="runs/r4_flagship_4000")
     ap.add_argument("--num-envs", type=int, default=64)
     ap.add_argument("--steps", type=int, default=500)
+    ap.add_argument("--dead-zone", type=float, default=0.2)
     ap.add_argument("--stochastic", action="store_true",
                     help="sample the policy (training behavior) instead "
                          "of the deterministic mean")
@@ -45,7 +46,8 @@ def main():
         os.path.join(args.ll_run,
                      "checkpoints/train_state_last.pkl"))["ppo_state"].params
 
-    env = HighLevelControlEnv(ll_env, ll_params, zero_reward_on_reset=False)
+    env = HighLevelControlEnv(ll_env, ll_params, zero_reward_on_reset=False,
+                              dead_zone=args.dead_zone)
     hlp_payload = load_pytree(
         os.path.join(args.hlp_run, "checkpoints/train_state_last.pkl"))
     hlp_params = hlp_payload["ppo_state"].params

@@ -42,6 +42,10 @@ def main():
                     help="potential-based distance-progress shaping "
                          "(envs/hlp.py HLPRewardScales.progress; 0 = "
                          "reference parity)")
+    ap.add_argument("--dead-zone", type=float, default=0.2,
+                    help="xy-command zeroing threshold (reference 0.2, "
+                         "high_level_play.py:133); 0 disables the flat "
+                         "spot that freezes the final approach")
     ap.add_argument("--action-magnitude-scale", type=float, default=0.0,
                     help="L2 penalty on commanded velocities (0 = "
                          "reference parity; the reference's action_rate "
@@ -94,7 +98,7 @@ def main():
     env = HighLevelControlEnv(
         ll_env, ll_params,
         zero_reward_on_reset=bool(args.zero_reward_on_reset),
-        scales=_Scales)
+        scales=_Scales, dead_zone=args.dead_zone)
     # runner shims: HLP env reuses the low-level config metadata
     env.cfg = ll_env.cfg
     env.derived = ll_env.derived

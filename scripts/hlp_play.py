@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--num-envs", type=int, default=16)
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--gif", default=None)
+    ap.add_argument("--dead-zone", type=float, default=0.2)
     args = ap.parse_args()
 
     import jax
@@ -47,7 +48,7 @@ def main():
     ll_env = LeggedRobotEnv(cfg)
     ll_params = load_pytree(os.path.join(
         args.ll_run, "checkpoints/train_state_last.pkl"))["ppo_state"].params
-    env = HighLevelControlEnv(ll_env, ll_params)
+    env = HighLevelControlEnv(ll_env, ll_params, dead_zone=args.dead_zone)
 
     with open(os.path.join(args.hlp_run, "parameters.json")) as f:
         hlp_blob = json.load(f)
