@@ -94,7 +94,8 @@ class HighLevelControlEnv:
                  zero_reward_on_reset: bool = True,
                  scales: type = HLPRewardScales,
                  ll_ac_args: ACArgs = None,
-                 dead_zone: float = 0.2):
+                 dead_zone: float = 0.2,
+                 goal_radius: float = 0.1):
         assert not ll_env.cfg.env.auto_reset, \
             "the low-level env must be built with env.auto_reset=False"
         self.ll_env = ll_env
@@ -117,6 +118,12 @@ class HighLevelControlEnv:
         # |cmd| ~ 0.16 forever. dead_zone=0 removes the flat spot
         # (documented deviation arm; default keeps reference parity).
         self.dead_zone = float(dead_zone)
+        # Reference goal tolerance is 0.1 m (high_level_play.py:191).
+        # Under stochastic exploration from the ~1.1 m stall the +5 goal
+        # bonus is sampled ~never at 0.1 m, so there is no gradient
+        # toward reaching; a relaxed-radius arm (e.g. 0.5 m) lets the
+        # bonus enter the advantage estimate at all (round-5 demo arm).
+        self.goal_radius = float(goal_radius)
 
         self.step_scales = {
             k: getattr(scales, k) * self.dt
@@ -204,7 +211,7 @@ class HighLevelControlEnv:
 
         # termination (:189-196)
         gs_buf = jnp.linalg.norm(base_pos[:, :2] - state.goal_position,
-                                 axis=-1) < 0.1
+                                 axis=-1) < self.goal_radius
         time_buf = episode_length > self.max_episode_length
         reset_buf = ll_dones | gs_buf | time_buf
 

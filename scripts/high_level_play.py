@@ -42,6 +42,10 @@ def main():
                     help="potential-based distance-progress shaping "
                          "(envs/hlp.py HLPRewardScales.progress; 0 = "
                          "reference parity)")
+    ap.add_argument("--goal-radius", type=float, default=0.1,
+                    help="goal tolerance in meters (reference 0.1, "
+                         "high_level_play.py:191); relaxed values let "
+                         "the +5 bonus be sampled under exploration")
     ap.add_argument("--dead-zone", type=float, default=0.2,
                     help="xy-command zeroing threshold (reference 0.2, "
                          "high_level_play.py:133); 0 disables the flat "
@@ -98,7 +102,8 @@ def main():
     env = HighLevelControlEnv(
         ll_env, ll_params,
         zero_reward_on_reset=bool(args.zero_reward_on_reset),
-        scales=_Scales, dead_zone=args.dead_zone)
+        scales=_Scales, dead_zone=args.dead_zone,
+        goal_radius=args.goal_radius)
     # runner shims: HLP env reuses the low-level config metadata
     env.cfg = ll_env.cfg
     env.derived = ll_env.derived

@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--steps", type=int, default=500)
     ap.add_argument("--gif", default=None)
     ap.add_argument("--dead-zone", type=float, default=0.2)
+    ap.add_argument("--goal-radius", type=float, default=0.1)
     args = ap.parse_args()
 
     import jax
@@ -48,7 +49,8 @@ def main():
     ll_env = LeggedRobotEnv(cfg)
     ll_params = load_pytree(os.path.join(
         args.ll_run, "checkpoints/train_state_last.pkl"))["ppo_state"].params
-    env = HighLevelControlEnv(ll_env, ll_params, dead_zone=args.dead_zone)
+    env = HighLevelControlEnv(ll_env, ll_params, dead_zone=args.dead_zone,
+                              goal_radius=args.goal_radius)
 
     with open(os.path.join(args.hlp_run, "parameters.json")) as f:
         hlp_blob = json.load(f)

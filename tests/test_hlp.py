@@ -120,6 +120,36 @@ def test_hlp_progress_shaping_and_visible_terminals(hlp_env):
     assert np.all(np.asarray(res.rew)[done] < -0.9)
 
 
+def test_hlp_dead_zone_and_goal_radius(hlp_env):
+    """Round-5 demonstration levers: dead_zone=0 passes small xy commands
+    through to the LL env (default 0.2 zeroes them, reference
+    high_level_play.py:133), and goal_radius widens the success disc
+    (reference 0.1, :191) so the +5 bonus is sampleable under
+    exploration from the ~1.1 m stall (EXPERIMENTS.md §28)."""
+    env = HighLevelControlEnv(hlp_env.ll_env, hlp_env.ll_params,
+                              dead_zone=0.0, goal_radius=0.5,
+                              zero_reward_on_reset=False)
+    state = env.initial_state(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    # small xy commands are NOT zeroed with the dead zone off
+    state, res = step(state, jnp.asarray([[0.05, 0.05, 0.0]] * 8))
+    np.testing.assert_allclose(np.asarray(state.ll.commands[:, :2]), 0.05,
+                               atol=1e-6)
+    # a robot inside the 0.5 m disc terminates with the +5 goal bonus
+    near = state._replace(
+        last_pos=state.last_pos,
+        goal_position=np.asarray(state.last_pos[:, :2]) + 0.3)
+    near, res = step(near, jnp.zeros((8, 3)))
+    assert bool(np.all(np.asarray(res.done)))
+    assert np.all(np.asarray(res.rew) > 3.0)  # +5 dominates step penalties
+    # the reference-tolerance env does NOT terminate at 0.3 m
+    state2 = hlp_env.initial_state(jax.random.PRNGKey(0))
+    far = state2._replace(
+        goal_position=np.asarray(state2.last_pos[:, :2]) + 0.3)
+    _, res2 = jax.jit(hlp_env.step)(far, jnp.zeros((8, 3)))
+    assert not bool(np.any(np.asarray(res2.done)))
+
+
 @pytest.mark.slow
 def test_hlp_trains(hlp_env):
     env = hlp_env
