@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--gif", default=None)
     ap.add_argument("--dead-zone", type=float, default=0.2)
     ap.add_argument("--goal-radius", type=float, default=0.1)
+    ap.add_argument("--stochastic", action="store_true",
+                    help="sample the training distribution instead of "
+                         "the deterministic mean")
     args = ap.parse_args()
 
     import jax
@@ -64,33 +67,52 @@ def main():
     state = env.initial_state(jax.random.PRNGKey(0))
 
     @jax.jit
-    def step(state):
+    def step(state, key):
         # deterministic policy mean (act_teacher == actor_body(obs) when
-        # use_latent=False, the HLP configuration)
-        act = hlp_ac.apply(hlp_params, state.obs, state.privileged_obs,
-                           method=ActorCritic.act_teacher)
+        # use_latent=False, the HLP configuration), or a sample from the
+        # training distribution with --stochastic (the stochastic policy
+        # is what reaches goals during training; the deterministic mean
+        # can still sit at the approach stall, EXPERIMENTS.md §28)
+        if args.stochastic:
+            mean, std = hlp_ac.apply(hlp_params, state.obs,
+                                     state.privileged_obs,
+                                     method=ActorCritic.distribution)
+            act = mean + std * jax.random.normal(key, mean.shape)
+        else:
+            act = hlp_ac.apply(hlp_params, state.obs, state.privileged_obs,
+                               method=ActorCritic.act_teacher)
         state, res = env.step(state, act)
-        return state, res, act
+        dist = jnp.linalg.norm(
+            env._base_pos(state.ll)[:, :2] - state.goal_position, axis=-1)
+        return state, res, act, dist
 
     N = args.num_envs
     goals = 0
     timeouts = 0
     episodes = 0
-    poses = []          # env 0 trajectory for the GIF
+    poses = []          # all-env trajectories for the GIF
+    dists = []
+    key = jax.random.PRNGKey(2)
     for t in range(args.steps):
-        state, res, act = step(state)
+        key, sub = jax.random.split(key)
+        state, res, act, dist = step(state, sub)
         done = np.asarray(res.done)
         to = np.asarray(res.info["time_outs"])
         goals += int(res.info["goal_reached_count"])
         timeouts += int(to.sum())
         episodes += int(done.sum())
+        dists.append(np.asarray(dist))
         if args.gif:
             ll = state.ll
-            poses.append((np.asarray(ll.sim.base_pos[0]),
-                          np.asarray(ll.sim.base_quat[0]),
-                          np.asarray(ll.sim.q[0]),
-                          np.asarray(ll.env_origins[0])))
+            poses.append((np.asarray(ll.sim.base_pos),
+                          np.asarray(ll.sim.base_quat),
+                          np.asarray(ll.sim.q),
+                          np.asarray(ll.env_origins)))
     falls = max(0, episodes - goals - timeouts)
+    dists = np.stack(dists)                       # [T, N]
+    best_env = int(np.argmin(dists.min(axis=0)))  # closest approach
+    print(f"[hlp_play] per-env closest approach: "
+          f"{np.round(dists.min(axis=0), 2)} (render env {best_env})")
 
     print(f"[hlp_play] {args.steps} steps x {N} envs: "
           f"episodes={episodes} goals={goals} timeouts={timeouts} "
@@ -101,7 +123,7 @@ def main():
 
     if args.gif and poses:
         from rapid_locomotion_rl_tpu.utils.render import render_trajectory
-        pos, quat, qq, origin = (np.stack([p[i] for p in poses])
+        pos, quat, qq, origin = (np.stack([p[i][best_env] for p in poses])
                                  for i in range(4))
         init = np.asarray(cfg.init_state.pos)
         goal_w = origin[0] + init + np.array(
